@@ -1,0 +1,132 @@
+"""Distributed ``dc_report`` train/test drift comparison
+(reference: pandas_dq.py:1199-1362).
+
+Two fused profile passes (one per side) + one KS job per qualifying
+column.  Qualification reproduces the reference gate (1308): both
+sides numeric AND ``count_unique < 10`` where count_unique is derived
+from the int-truncated Unique Values% — note the quirk that float
+columns report 'NA' which maps to 0, so EVERY float column passes the
+gate and gets a KS test, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dq_report import DQReport, build_dq_report
+from .ks import ks_2samp_df
+
+SHORT_SCHEMA = (
+    "column_name string, dq_issue_train string, dq_issue_test string, "
+    "distribution_difference string"
+)
+
+FULL_SCHEMA = (
+    "column_name string, data_type_train string, data_type_test string, "
+    "missing_values_pct_train double, missing_values_pct_test double, "
+    "unique_values_pct_train string, unique_values_pct_test string, "
+    "minimum_value_train string, minimum_value_test string, "
+    "maximum_value_train string, maximum_value_test string, "
+    "dq_issue_train string, dq_issue_test string, distribution_difference string"
+)
+
+
+def build_dc_report(
+    train: DataFrame,
+    test: DataFrame,
+    exclude: list[str] | None = None,
+) -> tuple[DQReport, DQReport, dict[str, str | None]]:
+    exclude = exclude or []
+    for e in exclude:
+        if e in train.columns:
+            train = train.drop(e)
+        else:
+            print("Column %s not found in train" % e)
+        if e in test.columns:
+            test = test.drop(e)
+        else:
+            print("Column %s not found in train" % e)
+    if train.columns != test.columns:
+        raise ValueError(
+            "The two dataframes dont have the same columns. Use exclude argument to exclude columns from comparison."
+        )
+
+    rep_tr = build_dq_report(train)
+    rep_te = build_dq_report(test)
+
+    dist_diff: dict[str, str | None] = {}
+    for col in train.columns:
+        kt = rep_tr  # alias for brevity
+        missing_train = rep_tr.missing_pct[col]
+        missing_test = rep_te.missing_pct[col]
+        unique_train = rep_tr.unique_pct[col]
+        unique_test = rep_te.unique_pct[col]
+        count_unique_train = (
+            0 if unique_train == "NA" else rep_tr.n_rows * (unique_train / 100)
+        )
+        count_unique_test = (
+            0 if unique_test == "NA" else rep_te.n_rows * (unique_test / 100)
+        )
+        kind_tr = _kind(train, col)
+        kind_te = _kind(test, col)
+        numeric = kind_tr in ("int", "float") and kind_te in ("int", "float")
+
+        s = ""
+        if numeric and count_unique_train < 10 and count_unique_test < 10:
+            if missing_train < 100 and missing_test < 100:
+                ks = ks_2samp_df(train, col, test, col)
+                if ks > 0:
+                    s += f"The distributions of {col} are different with a KS test statistic of {ks:.3f}. "
+        if missing_train != missing_test:
+            s += f"The percentage of missing values of {col} are different between train ({missing_train:.2f}%) and test ({missing_test:.2f}%). "
+        if unique_train != unique_test:
+            if unique_train == "NA" or unique_test == "NA":
+                s += f"The data types of {col} are different between train: {rep_tr.data_type[col]} and test: {rep_te.data_type[col]}. "
+            else:
+                s += f"The percentage of unique values of {col} are different between train ({unique_train:.2f}%) and test ({unique_test:.2f}%). "
+        dist_diff[col] = s if s != "" else None
+    return rep_tr, rep_te, dist_diff
+
+
+def _kind(df: DataFrame, col: str) -> str:
+    from ..plans.profile import col_kind
+
+    return col_kind(df.schema[col].dataType)
+
+
+def dc_report(
+    train: DataFrame,
+    test: DataFrame,
+    exclude: list[str] | None = None,
+    html: bool = False,
+    verbose: int = 0,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    spark = spark or train.sparkSession
+    rep_tr, rep_te, dist_diff = build_dc_report(train, test, exclude)
+    cols = rep_tr.columns
+    if verbose:
+        rows = [
+            (
+                c,
+                rep_tr.data_type[c],
+                rep_te.data_type[c],
+                float(rep_tr.missing_pct[c]),
+                float(rep_te.missing_pct[c]),
+                str(rep_tr.unique_pct[c]),
+                str(rep_te.unique_pct[c]),
+                rep_tr.min_val[c],
+                rep_te.min_val[c],
+                rep_tr.max_val[c],
+                rep_te.max_val[c],
+                rep_tr.issues[c],
+                rep_te.issues[c],
+                dist_diff[c],
+            )
+            for c in cols
+        ]
+        return spark.createDataFrame(rows, FULL_SCHEMA)
+    rows = [
+        (c, rep_tr.issues[c], rep_te.issues[c], dist_diff[c]) for c in cols
+    ]
+    return spark.createDataFrame(rows, SHORT_SCHEMA)

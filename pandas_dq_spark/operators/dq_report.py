@@ -1,0 +1,449 @@
+"""Distributed ``dq_report`` (reference: pandas_dq.py:51-542).
+
+The reference makes >=12 eager full-table pandas passes; this engine
+runs exactly FOUR Spark jobs regardless of column count:
+
+  1. duplicate-row count (A4) — one shuffle on the row hash;
+  2. ONE fused aggregation (profile + exact quantiles + all-pairs
+     correlation in a single scan — SURVEY.md §3.1);
+  3. outlier counts (needs the quantile results; one conditional agg);
+  4. rare-category value counts (one small groupBy per cat column —
+     cat columns are by definition low-cardinality, so each is a
+     map-side partial agg with a tiny shuffle).
+
+The findings table itself is O(n_columns) and assembled on the driver,
+reproducing the reference's issue strings byte-for-byte (the
+``first_comma`` comma-append protocol at pandas_dq.py:145-146/234-235).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dtypes import pandas_dtype_name
+from ..plans.profile import (
+    ProfileState,
+    duplicate_row_count,
+    null_or_nan,
+    profile,
+    value_counts,
+)
+from .classify import classify_from_profile
+
+RARE_THRESHOLD = 0.01  # pandas_dq.py:318
+CORRELATION_THRESHOLD = 0.8  # pandas_dq.py:71
+LEAKAGE_THRESHOLD = 0.8  # pandas_dq.py:72
+IMBALANCE_THRESHOLD = 0.1  # pandas_dq.py:475
+
+GOOD = "The Good News"
+BAD = "The Bad News"
+
+FINDINGS_SCHEMA = (
+    "column_name string, data_type string, missing_values_pct double, "
+    "unique_values_pct string, minimum_value string, maximum_value string, "
+    "dq_issue string"
+)
+
+
+def _fmt_val(v, kind: str) -> str:
+    """str() of the cell as pandas would show it in the report frame."""
+    if v is None:
+        return ""
+    if kind == "int":
+        return str(int(v))
+    if kind == "bool":
+        return str(bool(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return str(v)
+    return str(v)
+
+
+class _Appender:
+    """The reference's first_comma comma-append protocol
+    (pandas_dq.py:145-146, 234-235)."""
+
+    def __init__(self):
+        self.text: dict[str, str] = {}
+        self.comma: dict[str, str] = {}
+
+    def add(self, key: str, s: str) -> None:
+        self.text[key] = self.text.get(key, "") + self.comma.get(key, "") + s
+        self.comma[key] = ", "
+
+    def get(self, key: str) -> str:
+        return self.text.get(key, "")
+
+
+@dataclass
+class DQReport:
+    """Driver-side report pair: per-column findings (dq_df2) and the
+    two-row good/bad summary (dq_df1)."""
+
+    columns: list[str]
+    data_type: dict[str, str]
+    missing_pct: dict[str, float]
+    unique_pct: dict[str, object]  # int or 'NA'
+    min_val: dict[str, str]
+    max_val: dict[str, str]
+    issues: dict[str, str]
+    summary: dict[str, str]  # GOOD/BAD -> text
+    roles: dict[str, list[str]] = field(default_factory=dict)
+    n_rows: int = 0
+
+    def findings_rows(self) -> list[tuple]:
+        return [
+            (
+                c,
+                self.data_type[c],
+                float(self.missing_pct[c]),
+                str(self.unique_pct[c]),
+                self.min_val.get(c, ""),
+                self.max_val.get(c, ""),
+                self.issues[c],
+            )
+            for c in self.columns
+        ]
+
+    def to_spark(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.findings_rows(), FINDINGS_SCHEMA)
+
+    def to_html(self, path: str = "dq_report.html") -> str:
+        """S7 html-sink analogue (pandas_dq.py:547-590): the report is
+        O(n_columns), rendered driver-side; no browser open."""
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{x}</td>" for x in r) + "</tr>"
+            for r in self.findings_rows()
+        )
+        hdr = "".join(
+            f"<th>{h}</th>"
+            for h in [
+                "Column Name",
+                "Data Type",
+                "Missing Values%",
+                "Unique Values%",
+                "Minimum Value",
+                "Maximum Value",
+                "DQ Issue",
+            ]
+        )
+        html = f"<html><body><table border='1'><tr>{hdr}</tr>{rows}</table></body></html>"
+        with open(path, "w") as f:
+            f.write(html)
+        return path
+
+
+def build_dq_report(
+    df: DataFrame,
+    target: str | list[str] | None = None,
+    correlation_threshold: float = CORRELATION_THRESHOLD,
+    rare_threshold: float = RARE_THRESHOLD,
+    exact: bool = True,
+) -> DQReport:
+    n_pre = None  # lazily; dup count gives totals
+
+    # ---- stage 1: duplicate rows (pandas_dq.py:122-126) ----
+    dup_rows = duplicate_row_count(df)
+    if dup_rows > 0:
+        df = df.dropDuplicates()
+    df = df.cache()
+
+    # duplicate column names: Spark analyzer generally forbids reading
+    # them from parquet; metadata-only check (pandas_dq.py:129-134)
+    seen, dup_cols = set(), []
+    for c in df.columns:
+        if c in seen:
+            dup_cols.append(c)
+        seen.add(c)
+
+    cols = df.columns
+    target_col: list[str] = []
+    if target is not None:
+        target_col = [target] if isinstance(target, str) else list(target)
+
+    # ---- stage 2: ONE fused agg — profile + quantiles + corr ----
+    kinds = {}
+    state_pre = None  # we need roles; roles need the profile itself.
+    # Profile all columns (including target) in one pass, with the
+    # quantile and correlation expressions fused into the same agg.
+    from ..plans.profile import col_kind  # local to avoid cycle noise
+
+    num_candidates = [
+        f.name
+        for f in df.schema.fields
+        if col_kind(f.dataType) in ("float", "int")
+    ]
+    extra = []
+    for c in num_candidates:
+        cd = F.when(null_or_nan(F.col(c), col_kind(df.schema[c].dataType)), None).otherwise(
+            F.col(c).cast("double")
+        )
+        extra.append(
+            F.percentile(cd, F.array(F.lit(0.25), F.lit(0.75))).alias(f"q__{c}")
+        )
+    for i, a in enumerate(num_candidates):
+        for b in num_candidates[i + 1 :]:
+            ca = F.when(null_or_nan(F.col(a), col_kind(df.schema[a].dataType)), None).otherwise(F.col(a).cast("double"))
+            cb = F.when(null_or_nan(F.col(b), col_kind(df.schema[b].dataType)), None).otherwise(F.col(b).cast("double"))
+            extra.append(F.corr(ca, cb).alias(f"c__{a}__{b}"))
+
+    state = profile(df, exact_distinct=exact, extra_aggs=extra)
+    n = state.n_rows
+
+    # roles computed over predictors only (reference drops target first,
+    # pandas_dq.py:158-161)
+    pred_state = ProfileState(
+        n_rows=n,
+        columns={k: v for k, v in state.columns.items() if k not in target_col},
+        exact=state.exact,
+    )
+    roles = classify_from_profile(pred_state)
+
+    id_cols = sorted(set(roles["id_vars"]))
+    zero_var_cols = sorted(set(roles["cols_delete"]))
+    cat_cols = roles["cat_vars"] + roles["factor_vars"]
+    date_cols = roles["date_vars"]
+    discrete_string_vars = roles["discrete_string_vars"]
+    num_cols = roles["continuous_vars"] + roles["int_vars"]
+    float_cols = roles["continuous_vars"]
+
+    missing_cols = [c for c in cols if state.columns[c].n_missing > 0]
+
+    # ---- stage 3: outlier counts per numeric col (pandas_dq.py:386-392) ----
+    bounds: dict[str, tuple[float, float]] = {}
+    for c in num_cols:
+        q = state.extras.get(f"q__{c}")
+        if q is None:
+            continue
+        q1, q3 = q[0], q[1]
+        if q1 is None or q3 is None:
+            continue
+        iqr = q3 - q1
+        bounds[c] = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    outlier_counts: dict[str, int] = {}
+    if bounds:
+        aggs = [
+            F.sum(
+                ((F.col(c) < lb) | (F.col(c) > ub)).cast("long")
+            ).alias(c)
+            for c, (lb, ub) in bounds.items()
+        ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        outlier_counts = {c: int(row[c] or 0) for c in bounds}
+
+    # ---- stage 4: rare categories per cat col (pandas_dq.py:317-336) ----
+    rare_by_col: dict[str, list] = {}
+    for c in cat_cols:
+        vc = value_counts(df, c, normalize=True)
+        rare = [v for v, freq in vc if freq < rare_threshold]
+        if rare:
+            rare_by_col[c] = rare
+
+    # ---- assembly (driver-side, byte-parity strings) ----
+    dq1 = _Appender()
+    dq2 = _Appender()
+
+    if dup_rows > 0:
+        dq1.add(BAD, f"There are {dup_rows} duplicate rows in the dataset. De-Dup these rows using Fix_DQ.")
+    else:
+        dq1.add(GOOD, "There are no duplicate rows in this dataset")
+    if len(dup_cols) > 0:
+        dq1.add(BAD, f"There are {len(dup_cols)} duplicate columns in the dataset. De-Dup {dup_cols} using Fix_DQ.")
+    else:
+        dq1.add(GOOD, "There are no duplicate columns in this datatset")
+
+    if len(id_cols) > 0:
+        dq1.add(BAD, "There are ID columns in the dataset. Remove them before modeling using Fix_DQ.")
+        for c in id_cols:
+            dq2.add(c, "Possible ID column: drop before modeling step.")
+    else:
+        dq1.add(GOOD, "There are no ID columns in the dataset.")
+
+    if len(zero_var_cols) > 0:
+        dq1.add(BAD, "These are zero-variance or low information columns in the dataset. Remove them before modeling.")
+        for c in zero_var_cols:
+            dq2.add(c, "Possible Zero-variance or low information colum: drop before modeling step.")
+    else:
+        dq1.add(GOOD, "There are no zero-variance or low information columns in the dataset.")
+
+    if len(date_cols) > 0:
+        dq1.add(BAD, f"There are {len(date_cols)} date-time vars in the dataset. Make sure you transform them before modeling.")
+        for c in date_cols:
+            dq2.add(c, "Possible date-time colum: transform before modeling step.")
+    else:
+        dq1.add(GOOD, "There are no date-time vars in this dataset")
+
+    if len(missing_cols) > 0:
+        for c in missing_cols:
+            m = state.columns[c].n_missing
+            dq2.add(c, f"{m} missing values. Impute them with mean, median, mode, or a constant value such as 123.")
+    else:
+        dq1.add(GOOD, "There are no columns with missing values in the dataset")
+
+    if len(cat_cols) > 0:
+        for c, rare in rare_by_col.items():
+            if len(rare) <= 10:
+                dq2.add(c, f"{len(rare)} rare categories: {rare}. Group them into a single category or drop the categories.")
+            else:
+                dq2.add(c, f"{len(rare)} rare categories: Too many to list. Group them into a single category or drop the categories.")
+    else:
+        dq1.add(GOOD, f"There are no categorical columns with rare categories (< {100 * rare_threshold:.0f} percent) in this dataset")
+
+    inf_cols = [c for c in cols if state.columns[c].n_inf > 0]
+    if len(inf_cols) > 0:
+        dq1.add(BAD, f"There are {len(inf_cols)} columns with infinite values in the dataset. Replace them with NaN or a finite value.")
+        for c in inf_cols:
+            dq2.add(c, f"{state.columns[c].n_inf} infinite values. Replace them with a finite value.")
+    else:
+        dq1.add(GOOD, "There are no columns with infinite values in this dataset ")
+
+    # mixed dtypes cannot occur in a Spark column (single-typed);
+    # reference check at pandas_dq.py:356-378 reproduced as never-firing
+    dq1.add(GOOD, "There are no columns with mixed (more than one) dataypes in this dataset")
+
+    if len(num_cols) > 0:
+        first_time = True
+        any_outlier = False
+        for c in num_cols:
+            cnt = outlier_counts.get(c, 0)
+            if cnt > 0:
+                any_outlier = True
+                if first_time:
+                    dq1.add(BAD, f"There are {len(num_cols)} numerical columns, some with outliers. Remove them or use robust statistics.")
+                    first_time = False
+                lb, ub = bounds[c]
+                dq2.add(c, f"Column has {cnt} outliers greater than upper bound ({ub:.2f}) or lower than lower bound({lb:.2f}). Cap them or remove them.")
+        if not any_outlier:
+            dq1.add(GOOD, "There are no numeric columns with outliers in this dataset")
+
+    # high cardinality: reference flags ALL discrete-string cols (Q5,
+    # pandas_dq.py:409-426 — threshold selection commented out at 414)
+    if len(discrete_string_vars) > 0:
+        card = {c: state.columns[c].n_distinct for c in discrete_string_vars}
+        card_threshold = min(30, min(card.values()))
+        dq1.add(BAD, f"There are {len(discrete_string_vars)} columns with high cardinality (>{card_threshold} categories) in the dataset. Reduce them using encoding techniques or feature selection methods.")
+        for c in discrete_string_vars:
+            dq2.add(c, f"Possible high cardinality column with {card[c]} unique values: Use hash encoding or text embedding to reduce dimension.")
+    else:
+        dq1.add(GOOD, "There are no high cardinality columns in this dataset")
+
+    # correlation (pandas_dq.py:428-443): later column in num_cols order
+    # is flagged when any upper-triangle |corr| exceeds the threshold
+    high_corr: dict[str, list[str]] = {}
+    for j, b in enumerate(num_cols):
+        partners = []
+        for i in range(j):
+            a = num_cols[i]
+            v = state.extras.get(f"c__{a}__{b}", state.extras.get(f"c__{b}__{a}"))
+            if v is not None and abs(v) > correlation_threshold:
+                partners.append(a)
+        if partners:
+            high_corr[b] = partners
+    if high_corr:
+        dq1.add(BAD, f"There are {len(high_corr)} columns with >= {correlation_threshold} correlation in the dataset. Drop one of them or use dimensionality reduction techniques.")
+        for c, partners in high_corr.items():
+            dq2.add(c, f"Column has a high correlation with {partners}. Consider dropping one of them.")
+    else:
+        dq1.add(GOOD, "There are no highly correlated columns in the dataset.")
+
+    # target: model type + imbalance (pandas_dq.py:446-483); leakage
+    # check reproduced as never-firing (Q2 — corrwith on a DataFrame
+    # aligns on names and yields all-NaN)
+    imbalanced_targets: set[str] = set()
+    if target is not None:
+        model_type = "Regression"
+        t_cat = [t for t in target_col if state.columns[t].kind in ("string", "bool")]
+        if t_cat:
+            model_type = "Classification"
+        else:
+            for t in target_col:
+                if state.columns[t].n_distinct <= 30:
+                    model_type = "Classification"
+        if model_type == "Classification":
+            for t in target_col:
+                vc = value_counts(df.filter(F.col(t).isNotNull()), t, normalize=True)
+                if vc:
+                    freqs = [f for _, f in vc]
+                    if min(freqs) < IMBALANCE_THRESHOLD or max(freqs) > 1 - IMBALANCE_THRESHOLD:
+                        dq1.add(BAD, f"Imbalanced classes in target variable ({t}). Use resampling or class weights to address.")
+                        # reference appends directly, bypassing the
+                        # first_comma protocol (pandas_dq.py:481)
+                        dq2.text[t] = dq2.get(t) + "Target column. Appears to have Imbalanced classes. Try balancing classes."
+                        imbalanced_targets.add(t)
+        dq1.add(GOOD, "There are no target leakage columns in the dataset")
+    else:
+        dq1.add(GOOD, "There is no target given. Hence no target leakage columns detected in the dataset")
+
+    # ---- final per-column frame (pandas_dq.py:149-231, 506-517) ----
+    data_type, missing_pct, unique_pct, minv, maxv, issues = {}, {}, {}, {}, {}, {}
+    for c in cols:
+        cp = state.columns[c]
+        data_type[c] = pandas_dtype_name(df.schema[c].dataType)
+        missing_pct[c] = 100.0 * cp.n_missing / n if n else 0.0
+        unique_pct[c] = "NA" if c in float_cols else int(100 * cp.n_distinct / n) if n else 0
+        is_numericish = cp.kind in ("float", "int", "bool")
+        if c not in missing_cols and is_numericish:
+            minv[c] = _fmt_val(cp.min_val, cp.kind)
+            maxv[c] = _fmt_val(cp.max_val, cp.kind)
+        else:
+            minv[c] = ""
+            maxv[c] = ""
+        text = dq2.get(c)
+        if text == "":
+            if c in target_col:
+                if cp.n_distinct == 1:
+                    text = "Target column. Appears to have zero variance. Double-check it."
+                else:
+                    text = "Target column"
+            else:
+                text = "No issue"
+        issues[c] = text
+
+    df.unpersist()
+    return DQReport(
+        columns=cols,
+        data_type=data_type,
+        missing_pct=missing_pct,
+        unique_pct=unique_pct,
+        min_val=minv,
+        max_val=maxv,
+        issues=issues,
+        summary={GOOD: dq1.get(GOOD), BAD: dq1.get(BAD)},
+        roles=roles,
+        n_rows=n,
+    )
+
+
+def dq_report(
+    data,
+    target=None,
+    html: bool = False,
+    csv_engine: str = "pandas",
+    verbose: int = 0,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Entry point matching the reference signature (pandas_dq.py:51).
+
+    ``data`` is a Spark DataFrame or a file path (csv/parquet/feather —
+    S1-S4 dispatch).  Returns the findings table as a Spark DataFrame.
+    """
+    from ..sources.io import read_any
+
+    if isinstance(data, str):
+        spark = spark or SparkSession.getActiveSession()
+        df = read_any(spark, data, csv_engine=csv_engine)
+        # S5 sample-cap (pandas_dq.py:113-114): file inputs only
+        total = df.count()
+        if total >= 1_000_000:
+            df = df.sample(fraction=100_000 / total, seed=99)
+    else:
+        df = data
+    rep = build_dq_report(df, target=target)
+    if html:
+        rep.to_html()
+    return rep.to_spark(df.sparkSession)

@@ -1,0 +1,256 @@
+"""Distributed ``Fix_DQ`` (reference: pandas_dq.py:659-1058).
+
+``fit`` runs the fused profile pass plus one quantile/correlation agg
+and produces a tiny picklable :class:`FixDQState` — the Spark analogue
+of the attribute soup the reference stores on ``self`` (upper_bounds_
+at 948, col_transformers_ at 951, drop lists at 993-1019).
+
+``transform`` is ONE narrow ``select`` of when/least/na.fill/log1p/pow
+expressions — no Python on executors, fully inside whole-stage codegen.
+The only shuffles are the dedup (A5) and the rare-category value
+counts, which the reference deliberately recomputes on the TRANSFORM
+data rather than using fit state (pandas_dq.py:767-769 — train and
+test can group differently; reproduced, see SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.skew import fit_yeo_johnson_lambda, yeo_johnson_col, yeo_johnson_transform_np
+from ..plans.profile import col_kind, null_or_nan, profile
+
+SKEW_THRESHOLD = 1.0  # pandas_dq.py:954
+
+
+@dataclass
+class FixDQState:
+    drop_cols_: list[str] = field(default_factory=list)
+    missing_cols_: list[str] = field(default_factory=list)
+    id_cols_: list[str] = field(default_factory=list)
+    zero_var_cols_: list[str] = field(default_factory=list)
+    drop_corr_cols_: list[str] = field(default_factory=list)
+    mixed_type_cols_: list[str] = field(default_factory=list)
+    upper_bounds_: dict[str, float] = field(default_factory=dict)
+    # col -> ("log1p", None) | ("yeo-johnson", (lmbda, mean, std))
+    col_transformers_: dict[str, tuple] = field(default_factory=dict)
+
+
+class FixDQ:
+    """sklearn-style transformer over Spark DataFrames.
+
+    Defaults follow the reference CODE, not its README (README/code
+    mismatches noted at SURVEY.md §2.11): quantile=0.87,
+    num_fill_value=9999, rare_threshold=0.01, correlation_threshold=0.9
+    (pandas_dq.py:661-667).
+    """
+
+    def __init__(
+        self,
+        quantile: float | None = 0.87,
+        cat_fill_value="missing",
+        num_fill_value=9999,
+        rare_threshold: float = 0.01,
+        correlation_threshold: float = 0.9,
+        yj_sample_cap: int = 200_000,
+    ):
+        self.quantile = quantile
+        self.cat_fill_value = cat_fill_value
+        self.num_fill_value = num_fill_value
+        self.rare_threshold = rare_threshold
+        self.correlation_threshold = correlation_threshold
+        self.yj_sample_cap = yj_sample_cap
+        self.state: FixDQState | None = None
+
+    # -- fit ---------------------------------------------------------
+    def fit(self, X: DataFrame, y=None) -> "FixDQ":
+        st = FixDQState()
+        kinds = {f.name: col_kind(f.dataType) for f in X.schema.fields}
+        float_cols = [c for c in X.columns if kinds[c] == "float"]
+        num_cols = [c for c in X.columns if kinds[c] in ("int", "float")]
+        non_float = [c for c in X.columns if kinds[c] != "float"]
+
+        # fused agg: profile + fit quantiles + pairwise corr in one pass
+        p = self.quantile if self.quantile is not None else 0.99
+        extra = []
+        for c in float_cols:
+            # pandas .quantile keeps +-inf in the order statistics; only
+            # NaN/null are skipped — so do NOT filter inf here
+            cd = F.when(null_or_nan(F.col(c), "float"), None).otherwise(
+                F.col(c).cast("double")
+            )
+            extra.append(
+                F.percentile(cd, F.array(F.lit(p), F.lit(1 - p))).alias(f"q__{c}")
+            )
+        for i, a in enumerate(num_cols):
+            for b in num_cols[i + 1 :]:
+                ca = F.when(null_or_nan(F.col(a), kinds[a]), None).otherwise(F.col(a).cast("double"))
+                cb = F.when(null_or_nan(F.col(b), kinds[b]), None).otherwise(F.col(b).cast("double"))
+                extra.append(F.corr(ca, cb).alias(f"c__{a}__{b}"))
+        state = profile(X, extra_aggs=extra)
+        n = state.n_rows
+
+        st.missing_cols_ = [c for c in X.columns if state.columns[c].n_missing > 0]
+        drop_missing = [
+            c for c in st.missing_cols_ if n and state.columns[c].n_missing / n >= 0.80
+        ]
+        st.id_cols_ = [c for c in non_float if state.columns[c].is_id_like]
+        st.zero_var_cols_ = [c for c in non_float if state.columns[c].is_constant]
+
+        # corr-drop keeps the EARLIER column in order (pandas_dq.py:910-918)
+        for j, b in enumerate(num_cols):
+            for i in range(j):
+                a = num_cols[i]
+                v = state.extras.get(f"c__{a}__{b}")
+                if v is not None and abs(v) > self.correlation_threshold:
+                    if b not in st.drop_corr_cols_:
+                        st.drop_corr_cols_.append(b)
+
+        # upper bounds: ub = q(p) + 1.5*(q(p) - q(1-p)), float cols only
+        # (pandas_dq.py:921-948)
+        for c in float_cols:
+            q = state.extras.get(f"q__{c}")
+            if q is None or q[0] is None:
+                continue
+            q3, q1 = q[0], q[1]
+            st.upper_bounds_[c] = q3 + 1.5 * (q3 - q1)
+
+        # skew transformers (pandas_dq.py:950-979); pandas .skew() on a
+        # column containing +-inf is NaN, so inf columns never qualify
+        yj_cols = []
+        for c in float_cols:
+            cp = state.columns[c]
+            if cp.n_inf > 0 or cp.skewness is None:
+                continue
+            if abs(cp.skewness) > SKEW_THRESHOLD:
+                if cp.min_val is not None and cp.min_val > 0:
+                    st.col_transformers_[c] = ("log1p", None)
+                else:
+                    yj_cols.append(c)
+
+        # Yeo-Johnson lambda MLE on a driver-side (seeded, capped)
+        # sample — the transform itself stays a Catalyst expression.
+        if yj_cols:
+            sel = X.select(*yj_cols)
+            cnt = n
+            if cnt > self.yj_sample_cap:
+                sel = sel.sample(fraction=self.yj_sample_cap / cnt, seed=42)
+            pdf = sel.toPandas()
+            for c in yj_cols:
+                vals = pdf[c].to_numpy(dtype=float)
+                vals = vals[np.isfinite(vals)]
+                lam = fit_yeo_johnson_lambda(vals)
+                t = yeo_johnson_transform_np(vals, lam)
+                st.col_transformers_[c] = ("yeo-johnson", (lam, float(t.mean()), float(t.std())))
+
+        st.mixed_type_cols_ = []  # impossible on Spark (single-typed cols)
+
+        drop: list[str] = []
+        drop += st.id_cols_
+        drop += st.zero_var_cols_
+        drop += st.drop_corr_cols_
+        drop += drop_missing
+        # stable order, first occurrence wins (reference uses set();
+        # we keep column order for deterministic output)
+        seen = set()
+        st.drop_cols_ = [c for c in drop if not (c in seen or seen.add(c))]
+        self.state = st
+        return self
+
+    # -- transform ---------------------------------------------------
+    def transform(self, X: DataFrame) -> DataFrame:
+        if self.state is None:
+            raise RuntimeError("FixDQ.transform called before fit")
+        st = self.state
+        kinds = {f.name: col_kind(f.dataType) for f in X.schema.fields}
+
+        # 1. dedup rows (pandas_dq.py:1032) — values-identical rows, so
+        #    any survivor yields the same output
+        X = X.dropDuplicates()
+
+        # 2. drop fitted columns (pandas_dq.py:1034-1036)
+        to_drop = [c for c in st.drop_cols_ if c in X.columns]
+        if to_drop:
+            X = X.drop(*to_drop)
+
+        # 3. missing cols found only at transform time are added to the
+        #    fitted list — stateful quirk reproduced (pandas_dq.py:713-718)
+        new_missing = [
+            c
+            for c in X.columns
+            if c not in st.missing_cols_ and kinds.get(c) is not None
+        ]
+        if new_missing:
+            row = X.agg(
+                *[
+                    F.sum(null_or_nan(F.col(c), kinds[c]).cast("long")).alias(c)
+                    for c in new_missing
+                ]
+            ).collect()[0].asDict()
+            for c in new_missing:
+                if (row[c] or 0) > 0:
+                    st.missing_cols_.append(c)
+
+        # 4. rare categories recomputed on THIS data (pandas_dq.py:767-769)
+        rare_by_col: dict[str, list] = {}
+        for c in X.columns:
+            if kinds.get(c) != "string":
+                continue
+            d = X.filter(F.col(c).isNotNull()).groupBy(c).count()
+            rows = d.collect()
+            total = sum(r["count"] for r in rows) or 1
+            rare = [r[c] for r in rows if r["count"] / total < self.rare_threshold]
+            if rare:
+                rare_by_col[c] = rare
+
+        # 5. ONE select expressing impute -> cap -> inf-replace -> rare
+        #    -> skew, in the reference's fixed order (pandas_dq.py:1025-1058)
+        exprs = []
+        for c in X.columns:
+            kind = kinds.get(c)
+            col = F.col(c)
+            if c in st.missing_cols_:
+                if kind == "string":
+                    fill = (
+                        self.cat_fill_value.get(c, "missing")
+                        if isinstance(self.cat_fill_value, dict)
+                        else self.cat_fill_value
+                    )
+                    col = F.when(col.isNull(), F.lit(fill)).otherwise(col)
+                elif kind in ("int", "float"):
+                    fill = (
+                        self.num_fill_value.get(c, -999)
+                        if isinstance(self.num_fill_value, dict)
+                        else self.num_fill_value
+                    )
+                    if kind == "float":
+                        col = F.when(null_or_nan(col, "float"), F.lit(float(fill))).otherwise(col)
+                    else:
+                        col = F.when(col.isNull(), F.lit(fill)).otherwise(col)
+            if kind == "float" and c in st.upper_bounds_:
+                ub = float(st.upper_bounds_[c])
+                if self.quantile is not None:
+                    # np.where(x > ub, ub, x): NaN > ub is False in
+                    # numpy but TRUE in Spark ordering — guard it
+                    col = F.when(~F.isnan(col) & (col > ub), F.lit(ub)).otherwise(col)
+                col = F.when(col.isin(float("inf"), float("-inf")), F.lit(ub)).otherwise(col)
+            if kind == "string" and c in rare_by_col:
+                col = F.when(
+                    col.isin(*rare_by_col[c]), F.lit("Rare")
+                ).otherwise(col)
+            if kind == "float" and c in st.col_transformers_:
+                name, params = st.col_transformers_[c]
+                if name == "log1p":
+                    col = F.log1p(col)
+                else:
+                    lam, mu, sigma = params
+                    col = yeo_johnson_col(col.cast("double"), lam, standardize=(mu, sigma))
+            exprs.append(col.cast("double").alias(c) if kind == "float" else col.alias(c))
+        return X.select(*exprs)
+
+    def fit_transform(self, X: DataFrame, y=None) -> DataFrame:
+        return self.fit(X, y).transform(X)

@@ -1,0 +1,90 @@
+"""Two-sample Kolmogorov-Smirnov statistic as a distributed operator.
+
+The reference calls ``scipy.stats.ks_2samp`` on two in-memory columns
+(pandas_dq.py:1308-1320).  Spark has no builtin, so this is a custom
+*algorithm* (not a planner extension, SURVEY.md §7.2): union the two
+tagged samples, sort once, and take the max gap between the two
+empirical CDFs via window cumulative sums.  Exact, one shuffle.
+
+D = sup_x |F1(x) - F2(x)| computed at every observed value; ties are
+handled by evaluating the CDFs AFTER all rows of an equal value (group
+by value first), which is exactly scipy's convention
+(``searchsorted(..., side='right')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ks_2samp_df(df1: DataFrame, col1: str, df2: DataFrame, col2: str) -> float:
+    """Exact two-sample KS statistic between ``df1[col1]`` and
+    ``df2[col2]`` (nulls/NaNs dropped, like ``.dropna()`` at
+    pandas_dq.py:1317)."""
+    a = (
+        df1.select(F.col(col1).cast("double").alias("v"))
+        .where(F.col("v").isNotNull() & ~F.isnan("v"))
+        .withColumn("tag", F.lit(1))
+    )
+    b = (
+        df2.select(F.col(col2).cast("double").alias("v"))
+        .where(F.col("v").isNotNull() & ~F.isnan("v"))
+        .withColumn("tag", F.lit(0))
+    )
+    u = a.unionByName(b)
+    # collapse ties first: per distinct value, counts in each sample
+    per_val = u.groupBy("v").agg(
+        F.sum("tag").alias("c1"),
+        F.sum(1 - F.col("tag")).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = per_val.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    ).collect()[0]
+    n1, n2 = tot["n1"] or 0, tot["n2"] or 0
+    if n1 == 0 or n2 == 0:
+        return float("nan")
+    gaps = per_val.select(
+        F.abs(
+            F.sum("c1").over(w) / F.lit(float(n1))
+            - F.sum("c2").over(w) / F.lit(float(n2))
+        ).alias("gap")
+    )
+    out = gaps.agg(F.max("gap").alias("d")).collect()[0]["d"]
+    return float(out)
+
+
+def ks_2samp_arrays(x, y) -> float:
+    """Driver-side exact KS for small collected samples (used by
+    dc_report where the qualifying columns have <10 distinct values —
+    their histograms already sit in the profile pass, so no extra
+    cluster job is needed; SURVEY.md §3.3)."""
+    import numpy as np
+
+    x = np.sort(np.asarray(x, dtype=float))
+    y = np.sort(np.asarray(y, dtype=float))
+    n1, n2 = x.size, y.size
+    if n1 == 0 or n2 == 0:
+        return float("nan")
+    allv = np.concatenate([x, y])
+    cdf1 = np.searchsorted(x, allv, side="right") / n1
+    cdf2 = np.searchsorted(y, allv, side="right") / n2
+    return float(np.abs(cdf1 - cdf2).max())
+
+
+def ks_2samp_from_histogram(hist1: dict, hist2: dict) -> float:
+    """Exact KS from value->count histograms (for low-cardinality
+    columns the full histogram is tiny regardless of row count)."""
+    vals = sorted(set(hist1) | set(hist2))
+    n1 = sum(hist1.values())
+    n2 = sum(hist2.values())
+    if n1 == 0 or n2 == 0:
+        return float("nan")
+    c1 = c2 = 0
+    d = 0.0
+    for v in vals:
+        c1 += hist1.get(v, 0)
+        c2 += hist2.get(v, 0)
+        d = max(d, abs(c1 / n1 - c2 / n2))
+    return d

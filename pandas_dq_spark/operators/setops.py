@@ -1,0 +1,34 @@
+"""Set-comparison operators (SURVEY.md §2.7, A18).
+
+``compare_unique`` (pandas_dq.py:611-656) collects unique-value sets;
+here the set differences are computed distributed via ``exceptAll`` on
+distinct single-column projections — only the (small) differences are
+collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compare_unique(df1: DataFrame, df2: DataFrame, column: str) -> dict:
+    u1 = df1.select(F.col(column).alias("v")).distinct().cache()
+    u2 = df2.select(F.col(column).alias("v")).distinct().cache()
+    count_1 = u1.count()
+    count_2 = u2.count()
+    diff_1_2 = [r["v"] for r in u1.exceptAll(u2).collect()]
+    diff_2_1 = [r["v"] for r in u2.exceptAll(u1).collect()]
+    u1.unpersist()
+    u2.unpersist()
+    return {
+        "unique_count_in_df1": count_1,
+        "unique_count_in_df2": count_2,
+        "diff_between_df1_df2": diff_1_2,
+        "diff_between_df2_df1": diff_2_1,
+    }
+
+
+def left_subtract(l1: list, l2: list) -> list:
+    """List difference on names (pandas_dq.py:604-609) — driver-side."""
+    return [i for i in l1 if i not in l2]

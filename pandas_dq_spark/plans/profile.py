@@ -1,0 +1,326 @@
+"""Fused single-pass column profiler — the engine's core plan.
+
+The reference (``/root/reference/pandas_dq.py``) makes >=12 full-table
+passes per report: ``duplicated()`` at 122, ``isnull().sum()`` at 154,
+a ``nunique()`` loop at 198-202, min/max loops at 206-226, per-column
+``value_counts`` at 322, inf scan at 340, ``applymap(type)`` at 357,
+per-column quantiles at 387-392, ``corr()`` at 429, and more.
+
+Here everything that is a per-column global aggregate is fused into ONE
+wide ``df.agg(...)`` — a single scan, map-side partial aggregation, one
+tiny shuffled row out.  Catalyst/Tungsten keep the whole expression tree
+inside whole-stage codegen; at 100 TB this is a single pass over the
+parquet scan with only the referenced columns read.
+
+Exact-vs-approx: parity mode (default) uses exact ``count(DISTINCT c)``
+per column.  Multiple exact distincts in one agg trigger Spark's Expand
+(input duplicated x k) — fine at test scale, wasteful at 10^12 rows, so
+``exact_distinct=False`` switches to ``approx_count_distinct`` which
+fuses without Expand; callers flag results as approximate.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_FLOAT_TYPES = (T.FloatType, T.DoubleType)
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def col_kind(dt: T.DataType) -> str:
+    """Collapse the Spark type to the reference's type notion.
+
+    Mirrors the dtype buckets of ``classify_columns``
+    (pandas_dq.py:1456-1514): continuous (float), int, bool, date,
+    string/object, other.
+    """
+    if isinstance(dt, _FLOAT_TYPES):
+        return "float"
+    if isinstance(dt, _INT_TYPES):
+        return "int"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "date"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.DecimalType):
+        return "float"
+    return "other"
+
+
+def null_or_nan(c: F.Column, kind: str) -> F.Column:
+    """pandas does not distinguish NaN from missing; Spark does.
+
+    Every missing-check on float columns must be ``isNull OR isnan``
+    (SURVEY.md §4.3 trap 5; reference pandas_dq.py:154, 713).
+    """
+    if kind == "float":
+        return c.isNull() | F.isnan(c)
+    return c.isNull()
+
+
+@dataclass
+class ColumnProfile:
+    name: str
+    dtype: str  # Spark simpleString
+    kind: str  # float | int | bool | date | string | other
+    n_rows: int = 0
+    n_missing: int = 0
+    n_distinct: int = 0  # excludes nulls (pandas nunique default)
+    min_val: object = None
+    max_val: object = None
+    n_inf: int = 0
+    skewness: float | None = None  # pandas-adjusted Fisher-Pearson
+    sum_val: float | None = None
+    mean_val: float | None = None
+    stddev_val: float | None = None
+    max_len: int | None = None
+    avg_len: float | None = None
+    n_date_parseable: int | None = None  # string cols: to_timestamp successes
+
+    @property
+    def missing_pct(self) -> float:
+        return 100.0 * self.n_missing / self.n_rows if self.n_rows else 0.0
+
+    @property
+    def unique_pct(self) -> float:
+        return 100.0 * self.n_distinct / self.n_rows if self.n_rows else 0.0
+
+    @property
+    def is_constant(self) -> bool:
+        # zero-variance: a single distinct value (pandas_dq.py:906-908)
+        return self.n_distinct == 1
+
+    @property
+    def is_id_like(self) -> bool:
+        # every non-null value unique AND no missing (pandas_dq.py:901-903)
+        return self.n_rows > 0 and self.n_distinct == self.n_rows
+
+
+@dataclass
+class ProfileState:
+    """Driver-side result of the fused profile pass.
+
+    This object plays the role the reference's per-column stat frames
+    play (pandas_dq.py:149-231) and of the attribute soup ``Fix_DQ.fit``
+    stores on ``self`` (pandas_dq.py:888-991).  It is tiny —
+    O(n_columns) — and broadcastable.
+    """
+
+    n_rows: int
+    columns: dict[str, ColumnProfile] = field(default_factory=dict)
+    exact: bool = True
+    extras: dict[str, object] = field(default_factory=dict)
+
+    def cols_of_kind(self, *kinds: str) -> list[str]:
+        return [c.name for c in self.columns.values() if c.kind in kinds]
+
+
+def _pandas_skew_expr(c: F.Column) -> F.Column:
+    """pandas ``.skew()`` = adjusted Fisher-Pearson; Spark ``skewness``
+    is population g1.  Adjustment: g1 * sqrt(n(n-1)) / (n-2), with n the
+    non-null count (verified numerically, SURVEY.md §4.3 trap 1)."""
+    n = F.count(c)
+    g1 = F.skewness(c)
+    return F.when(
+        n > 2, g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+    with_dates: bool = True,
+    extra_aggs: list | None = None,
+) -> ProfileState:
+    """One fused aggregation computing SURVEY.md §2.4 ops
+    A1 (missing), A2 (nunique), A3 (min/max), A8 (inf), A13 (skew),
+    A19 (id-detect), A20 (zero-var), A22 (string-length stats),
+    A23 (date-parse-check) for every requested column simultaneously.
+
+    ``extra_aggs`` lets callers fuse additional global aggregates
+    (exact percentiles, pairwise correlations, …) into the SAME pass;
+    their results land in ``ProfileState.extras`` keyed by alias.
+    """
+    fields = [f for f in df.schema.fields if columns is None or f.name in columns]
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    kinds: dict[str, str] = {}
+    for f in fields:
+        name, kind = f.name, col_kind(f.dataType)
+        kinds[name] = kind
+        c = F.col(name)
+        aggs.append(
+            F.sum(null_or_nan(c, kind).cast("long")).alias(f"miss::{name}")
+        )
+        # nunique: pandas excludes NaN; for float cols exclude NaN too
+        dc = F.when(null_or_nan(c, kind), None).otherwise(c) if kind == "float" else c
+        if exact_distinct:
+            aggs.append(F.count_distinct(dc).alias(f"dist::{name}"))
+        else:
+            aggs.append(F.approx_count_distinct(dc, 0.01).alias(f"dist::{name}"))
+        if kind in ("float", "int", "date"):
+            aggs.append(F.min(c).alias(f"min::{name}"))
+            aggs.append(F.max(c).alias(f"max::{name}"))
+        if kind in ("float", "int"):
+            cd = c.cast("double")
+            base = F.when(null_or_nan(c, kind), None).otherwise(cd)
+            aggs.append(F.sum(base).alias(f"sum::{name}"))
+            aggs.append(F.avg(base).alias(f"mean::{name}"))
+            aggs.append(F.stddev(base).alias(f"std::{name}"))
+        if kind == "float":
+            aggs.append(
+                F.sum(
+                    c.isin(float("inf"), float("-inf")).cast("long")
+                ).alias(f"inf::{name}")
+            )
+            noinf = F.when(
+                null_or_nan(c, kind) | c.isin(float("inf"), float("-inf")), None
+            ).otherwise(c.cast("double"))
+            aggs.append(_pandas_skew_expr(noinf).alias(f"skew::{name}"))
+        if kind == "string":
+            aggs.append(F.max(F.length(c)).alias(f"maxlen::{name}"))
+            aggs.append(F.avg(F.length(c)).alias(f"avglen::{name}"))
+            if with_dates:
+                aggs.append(
+                    F.sum(
+                        F.try_to_timestamp(c).isNotNull().cast("long")
+                    ).alias(f"dateok::{name}")
+                )
+    aggs.extend(extra_aggs or [])
+    row = df.agg(*aggs).collect()[0].asDict()
+    n_rows = int(row["__n"])
+    state = ProfileState(n_rows=n_rows, exact=exact_distinct)
+    known = {a for a in row if "::" in a or a == "__n"}
+    state.extras = {k: v for k, v in row.items() if k not in known}
+    for f in fields:
+        name, kind = f.name, kinds[f.name]
+        p = ColumnProfile(
+            name=name,
+            dtype=f.dataType.simpleString(),
+            kind=kind,
+            n_rows=n_rows,
+            n_missing=int(row.get(f"miss::{name}") or 0),
+            n_distinct=int(row.get(f"dist::{name}") or 0),
+            min_val=row.get(f"min::{name}"),
+            max_val=row.get(f"max::{name}"),
+            n_inf=int(row.get(f"inf::{name}") or 0),
+            skewness=row.get(f"skew::{name}"),
+            sum_val=row.get(f"sum::{name}"),
+            mean_val=row.get(f"mean::{name}"),
+            stddev_val=row.get(f"std::{name}"),
+            max_len=row.get(f"maxlen::{name}"),
+            avg_len=row.get(f"avglen::{name}"),
+            n_date_parseable=row.get(f"dateok::{name}"),
+        )
+        sk = p.skewness
+        if sk is not None and (math.isnan(sk) or math.isinf(sk)):
+            p.skewness = None
+        state.columns[name] = p
+    return state
+
+
+def duplicate_row_count(df: DataFrame, subset: list[str] | None = None) -> int:
+    """A4 dup-row-count: pandas ``df.duplicated().sum()``
+    (pandas_dq.py:122-124) counts every row beyond the first per group,
+    with NaN == NaN.  Spark ``groupBy`` groups nulls/NaNs together too,
+    so ``sum(count - 1)`` over full-row groups matches exactly.
+    One shuffle on all columns; at scale prefer hashing the row first
+    (``duplicate_row_count_hashed``)."""
+    cols = subset or df.columns
+    out = (
+        df.groupBy(*cols)
+        .count()
+        .agg(F.sum(F.col("count") - 1).alias("dups"))
+        .collect()[0]["dups"]
+    )
+    return int(out or 0)
+
+
+def duplicate_row_count_hashed(df: DataFrame, subset: list[str] | None = None) -> int:
+    """Scale path for A4: shuffle a 64-bit hash instead of full rows.
+
+    ``xxhash64`` collisions at 10^12 rows are possible (~birthday bound)
+    so this is the engine-mode estimate; parity mode uses the exact
+    variant above."""
+    cols = subset or df.columns
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    out = (
+        df.select(h.alias("h"))
+        .groupBy("h")
+        .count()
+        .agg(F.sum(F.col("count") - 1).alias("dups"))
+        .collect()[0]["dups"]
+    )
+    return int(out or 0)
+
+
+def quantiles(
+    df: DataFrame, cols: list[str], probs: list[float]
+) -> dict[str, list[float]]:
+    """A10/A11 exact quantiles.  pandas ``.quantile`` uses linear
+    interpolation, which Spark's exact ``percentile`` matches (NOT
+    ``percentile_approx`` — SURVEY.md §4.3 trap 2).  All columns in one
+    agg pass."""
+    aggs = [
+        F.percentile(
+            F.when(null_or_nan(F.col(c), "float"), None).otherwise(
+                F.col(c).cast("double")
+            ),
+            F.array(*[F.lit(p) for p in probs]),
+        ).alias(c)
+        for c in cols
+    ]
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {c: list(row[c]) if row[c] is not None else None for c in cols}
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> dict[tuple[str, str], float]:
+    """A12: all k(k-1)/2 pairwise Pearson correlations in ONE agg.
+
+    pandas ``DataFrame.corr`` is pairwise-complete-observations, which
+    ``F.corr`` matches (null pairs skipped).  ml.stat.Correlation was
+    rejected: requires vector assembly and null-drops whole rows.
+    (reference: pandas_dq.py:428-443, 910-918)"""
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            ca = F.when(null_or_nan(F.col(a), "float"), None).otherwise(
+                F.col(a).cast("double")
+            )
+            cb = F.when(null_or_nan(F.col(b), "float"), None).otherwise(
+                F.col(b).cast("double")
+            )
+            aggs.append(F.corr(ca, cb).alias(f"{a}::{b}"))
+            pairs.append((a, b))
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {(a, b): row[f"{a}::{b}"] for a, b in pairs}
+
+
+def value_counts(
+    df: DataFrame, col: str, normalize: bool = True, drop_null: bool = True
+) -> list[tuple[object, float]]:
+    """A7/A14: per-value frequencies.  pandas ``value_counts(
+    normalize=True)`` excludes NaN from the denominator (verified;
+    SURVEY.md §4.3 trap 4)."""
+    d = df.select(col)
+    if drop_null:
+        d = d.filter(F.col(col).isNotNull())
+    total = None
+    counts = d.groupBy(col).count()
+    rows = counts.orderBy(F.col("count").desc(), F.col(col)).collect()
+    if normalize:
+        total = sum(r["count"] for r in rows) or 1
+        return [(r[col], r["count"] / total) for r in rows]
+    return [(r[col], r["count"]) for r in rows]

@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults stand in for cluster settings; on a real cluster the
+same builder is used with ``master`` left to spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pandas_dq_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on (runtime coalesce + skew-join handling).
+    - Arrow on (all our Python-side stages are vectorized pandas UDFs).
+    - ``spark.sql.shuffle.partitions`` sized to parallelism, not the
+      legacy 200 default: on a 1000-executor cluster this is overridden
+      to ~2-3x total cores via spark-submit conf.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        shuffle_partitions = max(8, cpus)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

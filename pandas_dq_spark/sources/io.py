@@ -1,0 +1,50 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S8 + WT sinks).
+
+Extension dispatch mirrors pandas_dq.py:80-111; the ``csv_engine``
+argument is accepted for API parity but is a no-op — Spark's native
+vectorized CSV reader replaces the pandas/polars/pyarrow engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_any(spark: SparkSession, path: str, csv_engine: str = "pandas") -> DataFrame:
+    """S1-S4 extension dispatch (pandas_dq.py:80-111)."""
+    ext = os.path.splitext(path)[-1].lower()
+    if ext == ".csv":
+        return spark.read.csv(path, header=True, inferSchema=True)
+    if ext == ".parquet":
+        return spark.read.parquet(path)
+    if ext in (".feather", ".arrow", ".ftr"):
+        # S3: no native Spark source; Arrow-read on the driver then
+        # parallelize — acceptable because feather files are single-
+        # machine artifacts by construction
+        import pyarrow.feather as feather
+
+        tbl = feather.read_table(path)
+        return spark.createDataFrame(tbl.to_pandas())
+    print(f"{ext} not supported. Returning nothing.")
+    raise ValueError(f"Unsupported file extension: {ext}")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """WT sink: parquet writer with dynamic partition overwrite so a
+    resumed run replaces only the partitions it recomputes (the
+    Iceberg ``overwritePartitions`` analogue without a catalog)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.option("partitionOverwriteMode", "dynamic").parquet(path)

@@ -1,0 +1,114 @@
+"""Golden tests: fused profile vs the same statistics computed with
+pandas (the reference's substrate) on identical data — SURVEY.md §5.2
+strategy 1/2."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pandas_dq_spark.plans.profile import (
+    correlation_matrix,
+    duplicate_row_count,
+    duplicate_row_count_hashed,
+    profile,
+    quantiles,
+    value_counts,
+)
+
+from .fixtures import messy_sdf
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    return messy_sdf(spark)
+
+
+def test_missing_and_distinct_match_pandas(messy):
+    sdf, pdf = messy
+    st = profile(sdf)
+    assert st.n_rows == len(pdf)
+    for c in pdf.columns:
+        assert st.columns[c].n_missing == int(pdf[c].isnull().sum()), c
+        assert st.columns[c].n_distinct == int(pdf[c].nunique()), c
+
+
+def test_min_max_match_pandas(messy):
+    sdf, pdf = messy
+    st = profile(sdf)
+    for c in ["num_outlier", "int_plain", "int_year", "num_bool"]:
+        assert st.columns[c].min_val == pytest.approx(pdf[c].min())
+        assert st.columns[c].max_val == pytest.approx(pdf[c].max())
+
+
+def test_skewness_matches_pandas_adjusted(messy):
+    sdf, pdf = messy
+    st = profile(sdf)
+    for c in ["num_outlier", "num_skewed_pos", "num_skewed_neg", "num_missing"]:
+        assert st.columns[c].skewness == pytest.approx(pdf[c].skew(), rel=1e-9), c
+
+
+def test_inf_counts(messy):
+    sdf, pdf = messy
+    st = profile(sdf)
+    assert st.columns["num_inf"].n_inf == 7
+    assert st.columns["num_outlier"].n_inf == 0
+
+
+def test_quantiles_match_pandas_linear_interpolation(messy):
+    sdf, pdf = messy
+    q = quantiles(sdf, ["num_outlier", "num_missing"], [0.25, 0.5, 0.75, 0.87])
+    for c in q:
+        exp = pdf[c].quantile([0.25, 0.5, 0.75, 0.87]).tolist()
+        assert q[c] == pytest.approx(exp, rel=1e-12), c
+
+
+def test_correlation_matches_pandas(messy):
+    sdf, pdf = messy
+    cm = correlation_matrix(sdf, ["corr_a", "corr_b", "num_outlier"])
+    exp = pdf[["corr_a", "corr_b", "num_outlier"]].corr()
+    for (a, b), v in cm.items():
+        assert v == pytest.approx(exp.loc[a, b], rel=1e-9), (a, b)
+    assert abs(cm[("corr_a", "corr_b")]) > 0.9
+
+
+def test_duplicate_rows_match_pandas(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"a": [1, 1, 2, 2, 3, None, None], "b": ["x", "x", "y", "y", "z", "w", "w"]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    # pandas counts NaN == NaN as duplicates (SURVEY.md §4.3 trap 3)
+    assert duplicate_row_count(sdf) == int(pdf.duplicated().sum()) == 3
+    assert duplicate_row_count_hashed(sdf) == 3
+
+
+def test_value_counts_normalize_excludes_nulls(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"c": ["a", "a", "b", None, None, None]})
+    sdf = spark.createDataFrame(pdf)
+    vc = dict(value_counts(sdf, "c", normalize=True))
+    # pandas value_counts(normalize=True) denominator excludes NaN
+    assert vc["a"] == pytest.approx(2 / 3)
+    assert vc["b"] == pytest.approx(1 / 3)
+
+
+def test_string_length_stats(messy):
+    sdf, pdf = messy
+    st = profile(sdf)
+    assert st.columns["id_str"].max_len == 9
+    assert st.columns["id_str"].avg_len == pytest.approx(9.0)
+
+
+def test_float_nan_counts_as_missing(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"f": [1.0, float("nan"), None, 2.0]})
+    sdf = spark.createDataFrame(pdf)
+    st = profile(sdf)
+    assert st.columns["f"].n_missing == 2
+    assert st.columns["f"].n_distinct == 2
