@@ -1,0 +1,141 @@
+"""Deterministic build-time language models — no downloads, no wall
+clock (FIXTURES.md: 'hash-based langid and a bigram perplexity table
+trained on the seeded corpus itself').
+
+These models are the stand-ins for fastText language-ID and a
+KenLM-style n-gram scorer (BASELINE.json north_star).  They are small
+python dicts created deterministically at import time; the pipeline
+broadcasts them inside vectorized pandas UDFs.  The interfaces are the
+real thing (batched text in -> scores out), so swapping in fastText /
+KenLM binaries on a real cluster is a one-function change.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ---- word pools per language (deterministic vocabulary) -------------
+
+EN_STOPWORDS = (
+    "the of and to in a is that it was for on are as with his they at be "
+    "this have from or had by not word but what some we can out other were "
+    "all there when up use your how said an each she which do their time if"
+).split()
+
+_EN_CONTENT = (
+    "data quality report column missing value table filter spark engine "
+    "document text language model pipeline cluster partition shuffle join "
+    "aggregate window function query plan optimizer scan parquet schema "
+    "check clean duplicate outlier category threshold sample metric result "
+    "system process network server storage memory compute batch stream "
+    "record field index key hash sort merge group count distinct range"
+).split()
+
+_DE_WORDS = (
+    "der die das und ist nicht ein eine mit von auf für den dem des im am "
+    "zu aus bei nach über unter zwischen wenn aber oder doch nur auch noch "
+    "daten qualität bericht spalte fehlend wert tabelle sprache modell "
+    "verarbeitung rechner speicher netzwerk system prozess ergebnis anzahl"
+).split()
+
+_FR_WORDS = (
+    "le la les et est ne pas un une avec de du des dans sur pour par au "
+    "aux si mais ou donc car aussi encore données qualité rapport colonne "
+    "manquant valeur tableau langue modèle traitement calcul mémoire "
+    "réseau système processus résultat nombre requête jointure fenêtre"
+).split()
+
+
+def _zz_words(n: int = 120, seed: int = 7) -> list[str]:
+    """Gibberish 'language' — consonant-heavy pseudo-words."""
+    rng = np.random.default_rng(seed)
+    letters = list("bcdfghjklmnpqrstvwxz")
+    return [
+        "".join(rng.choice(letters, int(rng.integers(4, 9))))
+        for _ in range(n)
+    ]
+
+
+LANG_POOLS: dict[str, list[str]] = {
+    "en": EN_STOPWORDS + _EN_CONTENT,
+    "de": _DE_WORDS,
+    "fr": _FR_WORDS,
+    "zz": _zz_words(),
+}
+
+# marker sets: words unique to one language (dropping cross-language
+# collisions keeps argmax scoring unambiguous)
+_all_counts: dict[str, int] = {}
+for _pool in LANG_POOLS.values():
+    for _w in set(_pool):
+        _all_counts[_w] = _all_counts.get(_w, 0) + 1
+LANG_MARKERS: dict[str, frozenset] = {
+    lang: frozenset(w for w in set(pool) if _all_counts[w] == 1)
+    for lang, pool in LANG_POOLS.items()
+}
+
+
+def langid_scores(tokens: list[str]) -> tuple[str, float]:
+    """(best_lang, score) — score is the marker-hit fraction.
+
+    Returns ("und", 0.0) for empty token lists."""
+    if not tokens:
+        return "und", 0.0
+    best_lang, best = "und", 0
+    for lang, markers in LANG_MARKERS.items():
+        hits = sum(1 for t in tokens if t in markers)
+        if hits > best:
+            best, best_lang = hits, lang
+    return best_lang, best / len(tokens)
+
+
+# ---- bigram LM over the en pool (KenLM stand-in) ---------------------
+
+
+def _train_bigram_lm(seed: int = 1234, n_sentences: int = 4000):
+    """Deterministic training corpus: seeded sentences over the en pool
+    with stopwords interleaved (mirrors the fixture generator's prose
+    construction so in-domain text scores low perplexity)."""
+    rng = np.random.default_rng(seed)
+    vocab = LANG_POOLS["en"]
+    unigrams: dict[str, int] = {}
+    bigrams: dict[tuple[str, str], int] = {}
+    for _ in range(n_sentences):
+        length = int(rng.integers(6, 18))
+        words = []
+        for j in range(length):
+            if j % 3 == 0:
+                words.append(EN_STOPWORDS[int(rng.integers(0, len(EN_STOPWORDS)))])
+            else:
+                words.append(vocab[int(rng.integers(0, len(vocab)))])
+        prev = "<s>"
+        for w in words:
+            unigrams[w] = unigrams.get(w, 0) + 1
+            bigrams[(prev, w)] = bigrams.get((prev, w), 0) + 1
+            prev = w
+    total = sum(unigrams.values())
+    v = len(unigrams) + 1
+    return unigrams, bigrams, total, v
+
+
+UNIGRAMS, BIGRAMS, _TOTAL, _V = _train_bigram_lm()
+_CTX_TOTALS: dict[str, int] = {}
+for (_a, _b), _c in BIGRAMS.items():
+    _CTX_TOTALS[_a] = _CTX_TOTALS.get(_a, 0) + _c
+
+
+def perplexity(tokens: list[str]) -> float:
+    """Bigram perplexity with Laplace smoothing; empty -> +inf."""
+    if not tokens:
+        return float("inf")
+    logp = 0.0
+    prev = "<s>"
+    for w in tokens:
+        c_big = BIGRAMS.get((prev, w), 0)
+        c_ctx = _CTX_TOTALS.get(prev, 0)
+        p = (c_big + 1.0) / (c_ctx + _V)
+        logp += math.log(p)
+        prev = w
+    return math.exp(-logp / len(tokens))

@@ -1,0 +1,249 @@
+"""The north-rule pipeline: language-ID + quality filter + PII scrub
+over Common-Crawl-style pages (BASELINE.json north_rule).
+
+Stage order (mirrors pandas_dq's check->fix lifecycle, SURVEY.md §3):
+
+  extract(html) -> stats (Catalyst) -> langid/ppl (pandas UDFs)
+  -> exact dedup mark (one shuffle on sha2(text)) -> rules -> issues
+  + keep -> scrub -> bucket partitioning -> write + sidecar + manifest
+
+Scale design notes (100 TB / 10^12 docs):
+- The only wide operation is the dedup shuffle, and it shuffles ONLY
+  (hash, url) — 40 bytes/row — never the text.  The duplicate verdict
+  joins back on url (AQE picks a sort-merge join co-partitioned with
+  the main table's url-hash bucketing; at 10^12 rows this is the
+  textbook two-pass dedup).
+- Everything else is a narrow map: stats/rules/scrub are one fused
+  projection inside whole-stage codegen; langid+ppl are two Arrow
+  batches per partition.
+- Output is hash-bucketed by url (``pmod(xxhash64(url), n_buckets)``)
+  — deterministic placement enables per-bucket checkpoint/resume and
+  dynamic partition-overwrite idempotency.
+- Skewed hosts don't skew buckets (url-hash, not host), but per-HOST
+  sidecar metrics would; the sidecar therefore aggregates per-host
+  counts with a salted two-phase aggregation (see metrics_sidecar).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .heuristics import QualityConfig, add_stats, rule_exprs
+from .scrub import pii_hit_count, scrub_col
+from .udfs import langid_udf, perplexity_udf
+
+ISSUE_TYPE = "array<struct<check:string,severity:string,detail:string>>"
+
+
+def with_extracted(df: DataFrame, html: str = "html") -> DataFrame:
+    """Byte-identical text extraction from the html wrapper
+    (FIXTURES.md: ``<html><body>`` + text + ``</body></html>``).
+
+    Real-world extraction (trafilatura etc.) is substituted by this
+    deterministic inverse so the per-row invariant 'byte-identical
+    extracted text per url' is testable (BASELINE.json input_hint)."""
+    extracted = F.expr(
+        f"substring(decode({html}, 'UTF-8'), 13, "
+        f"length(decode({html}, 'UTF-8')) - 26)"
+    )
+    return df.withColumn("extracted_text", extracted)
+
+
+def mark_duplicates(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Exact dedup: survivor = lexicographically smallest url per
+    sha2(text) group (deterministic under any parallelism — SURVEY.md
+    §7.3 hard-part 5).  Shuffles only (hash, url)."""
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    slim = df.select(F.col(url_col).alias("__u"), h.alias("__h"))
+    w = Window.partitionBy("__h").orderBy("__u")
+    verdict = slim.withColumn("__rn", F.row_number().over(w)).select(
+        F.col("__u").alias(url_col), (F.col("__rn") > 1).alias("is_dup")
+    )
+    return df.join(verdict, url_col, "left")
+
+
+def quality_filter(
+    df: DataFrame,
+    cfg: QualityConfig | None = None,
+    scrub: bool = True,
+    check_extraction: bool = True,
+) -> DataFrame:
+    """Full pipeline: returns the input columns plus stats, lang_pred/
+    lang_score, ppl, is_dup, issues, dq_issue, keep, scrubbed_text,
+    bucket."""
+    cfg = cfg or QualityConfig()
+    out = df
+    if check_extraction and "html" in df.columns:
+        out = with_extracted(out)
+        out = out.withColumn(
+            "extract_ok", F.coalesce(F.col("extracted_text") == F.col("text"), F.lit(False))
+        )
+    out = add_stats(out, cfg)
+    out = out.withColumn("__lid", langid_udf(F.col("text")))
+    out = out.withColumn("lang_pred", F.col("__lid.lang_pred")).withColumn(
+        "lang_score", F.col("__lid.lang_score")
+    ).drop("__lid")
+    out = out.withColumn("ppl", perplexity_udf(F.col("text")))
+    out = mark_duplicates(out)
+
+    rules = rule_exprs(cfg)
+    issue_structs = [
+        F.when(
+            pred,
+            F.struct(
+                F.lit(name).alias("check"),
+                F.lit("drop").alias("severity"),
+                F.lit(detail).alias("detail"),
+            ),
+        )
+        for name, pred, detail in rules
+    ]
+    issues = F.filter(
+        F.array(*issue_structs), lambda x: x.isNotNull()
+    ).cast(ISSUE_TYPE)
+    out = out.withColumn("issues", issues)
+    # dq_issue mirrors the reference's comma-joined DQ Issue string
+    # (pandas_dq.py:308-310), "No issue" fill included (517)
+    out = out.withColumn(
+        "dq_issue",
+        F.when(
+            F.size("issues") == 0, F.lit("No issue")
+        ).otherwise(F.array_join(F.transform(F.col("issues"), lambda x: x["detail"]), ", ")),
+    )
+    out = out.withColumn("keep", F.size("issues") == 0)
+    if scrub:
+        out = out.withColumn("scrubbed_text", scrub_col(F.col("text")))
+        out = out.withColumn("pii_hits", pii_hit_count(F.col("text")))
+    out = out.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
+    )
+    return out
+
+
+# ---------------- sidecar + checkpoint/resume ------------------------
+
+
+def metrics_sidecar(result: DataFrame, cfg: QualityConfig) -> DataFrame:
+    """Per-partition(bucket) lineage + metrics table (north rule).
+
+    One groupBy on the already-computed bucket id — map-side partial
+    aggregation, tiny shuffle."""
+    return result.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        F.sum(F.col("pii_hits")).alias("n_pii_hits"),
+        F.sum("n_chars").alias("total_chars"),
+        F.avg("ppl").alias("avg_ppl"),
+        F.min("warc_ts").alias("min_warc_ts"),
+        F.max("warc_ts").alias("max_warc_ts"),
+    )
+
+
+def host_stats_salted(df: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Per-host doc counts with explicit salting for skewed hosts
+    (north rule: 'partitioning / shuffle / skew handled explicitly').
+
+    Two-phase: partial agg on (host, salt) — spreads a hot host over
+    ``salt_buckets`` reducers — then final agg on host.  The salt is
+    derived from url so it is deterministic."""
+    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).alias("salt")
+    partial = (
+        df.select(host, salt, F.col("keep").cast("long").alias("k"))
+        .groupBy("host", "salt")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("kept"))
+    )
+    return partial.groupBy("host").agg(
+        F.sum("n").alias("n_docs"), F.sum("kept").alias("n_kept")
+    )
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_buckets(out_dir: str) -> set[int]:
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for f in os.listdir(mdir):
+        if f.startswith("bucket_") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                done.add(int(json.load(fh)["bucket"]))
+    return done
+
+
+def run_pipeline(
+    df: DataFrame,
+    out_dir: str,
+    cfg: QualityConfig | None = None,
+    resume: bool = True,
+    buckets_per_batch: int | None = None,
+    max_batches: int | None = None,
+) -> dict:
+    """Resumable batch run: processes bucket groups, writes the main
+    output partitioned by bucket (dynamic partition overwrite => a
+    re-run of a bucket is idempotent), writes the metrics sidecar and
+    a per-bucket JSON manifest entry AFTER the bucket's data commits.
+
+    On restart with ``resume=True`` completed buckets are skipped by a
+    partition-pruned filter — Spark never reads their input again."""
+    cfg = cfg or QualityConfig()
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    result = quality_filter(df, cfg)
+
+    done = completed_buckets(out_dir) if resume else set()
+    all_buckets = list(range(cfg.n_buckets))
+    todo = [b for b in all_buckets if b not in done]
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    main_path = os.path.join(out_dir, "docs")
+    side_path = os.path.join(out_dir, "sidecar")
+
+    batch = buckets_per_batch or len(todo) or 1
+    processed = []
+    n_batches = 0
+    for i in range(0, len(todo), batch):
+        if max_batches is not None and n_batches >= max_batches:
+            break  # simulated kill / budget stop — manifest stays behind
+        n_batches += 1
+        group = todo[i : i + batch]
+        part = result.filter(F.col("bucket").isin(group))
+        part.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(main_path)
+        side = metrics_sidecar(part, cfg).withColumn(
+            "run_group", F.lit(i // batch)
+        )
+        side.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(side_path)
+        side_rows = {r["bucket"]: r.asDict() for r in side.collect()}
+        for b in group:
+            meta = side_rows.get(b, {"bucket": b, "n_docs": 0})
+            meta["bucket"] = b
+            with open(
+                os.path.join(_manifest_dir(out_dir), f"bucket_{b}.json"), "w"
+            ) as fh:
+                json.dump({k: _js(v) for k, v in meta.items()}, fh)
+        processed.extend(group)
+    return {
+        "processed_buckets": processed,
+        "skipped_buckets": sorted(done),
+        "out_dir": out_dir,
+    }
+
+
+def _js(v):
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        return str(v)

@@ -1,0 +1,167 @@
+"""North-rule pipeline e2e tests (SURVEY.md §5.2 strategy 5):
+keep/drop F1 vs reference labels, byte-identical text invariants,
+sidecar integrity, checkpoint/resume idempotency."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_dq_spark.webtext.fixtures import pages_df, pages_pdf
+from pandas_dq_spark.webtext.heuristics import QualityConfig
+from pandas_dq_spark.webtext.pipeline import (
+    completed_buckets,
+    host_stats_salted,
+    metrics_sidecar,
+    quality_filter,
+    run_pipeline,
+)
+
+from .webtext_reference import reference_labels
+
+N_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    sdf = pages_df(spark, N_DOCS)
+    out = quality_filter(sdf).cache()
+    out.count()
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return reference_labels(pages_pdf(N_DOCS))
+
+
+def test_keep_drop_f1_vs_reference(result, ref):
+    got = result.select("url", "keep").toPandas().set_index("url")["keep"]
+    exp = ref.set_index("url")["ref_keep"]
+    got, exp = got.align(exp, join="inner")
+    assert len(got) == N_DOCS
+    tp = int((got & exp).sum())
+    fp = int((got & ~exp).sum())
+    fn = int((~got & exp).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1={f1} (tp={tp} fp={fp} fn={fn})"
+    # deterministic rules + shared models: expect exact agreement
+    assert f1 == 1.0
+
+
+def test_scrubbed_text_byte_identical(result, ref):
+    got = result.select("url", "scrubbed_text").toPandas().set_index("url")
+    exp = ref.set_index("url")
+    joined = got.join(exp)
+    mism = joined[joined["scrubbed_text"] != joined["ref_scrubbed"]]
+    assert len(mism) == 0, mism.head()
+
+
+def test_extraction_byte_identical(result):
+    # per-row invariant from BASELINE.json input_hint
+    assert result.filter(~F.col("extract_ok")).count() == 0
+    bad = result.filter(F.col("extracted_text") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_scrub_removes_pii(result):
+    hits = result.filter(F.col("scrubbed_text").rlike(r"[0-9]{3}-[0-9]{2}-[0-9]{4}"))
+    assert hits.count() == 0
+    emails = result.filter(
+        F.col("scrubbed_text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    )
+    assert emails.count() == 0
+    assert result.filter(F.col("scrubbed_text").contains("<EMAIL>")).count() > 0
+
+
+def test_duplicate_survivor_is_min_url(result):
+    dups = (
+        result.groupBy(F.sha2(F.coalesce("text", F.lit("")), 256).alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("url").alias("min_url"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+        )
+        .filter("n > 1")
+    )
+    rows = dups.collect()
+    assert rows, "fixture should contain duplicates"
+    for r in rows:
+        assert r["n_dup"] == r["n"] - 1
+    # the survivor (is_dup false) must be the min url
+    surv = (
+        result.withColumn("h", F.sha2(F.coalesce("text", F.lit("")), 256))
+        .filter(~F.col("is_dup"))
+        .groupBy("h")
+        .agg(F.count("*").alias("k"), F.min("url").alias("u"))
+    )
+    assert surv.filter("k != 1").count() == 0
+
+
+def test_issue_report_structure(result):
+    row = result.filter(F.col("n_words") == 0).select("issues", "dq_issue").first()
+    checks = [i["check"] for i in row["issues"]]
+    assert "empty_doc" in checks
+    assert "missing-value analogue" in row["dq_issue"]
+    kept = result.filter(F.col("keep")).select("dq_issue").first()
+    assert kept["dq_issue"] == "No issue"
+
+
+def test_langid_accuracy(result):
+    # on non-empty docs the wordlist langid should recover the fixture
+    # language nearly perfectly
+    conf = (
+        result.filter(F.col("n_words") >= 30)
+        .select((F.col("lang") == F.col("lang_pred")).cast("int").alias("ok"))
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    assert conf > 0.97
+
+
+def test_sidecar_covers_all_buckets(result):
+    cfg = QualityConfig()
+    side = metrics_sidecar(result, cfg)
+    rows = side.collect()
+    assert sum(r["n_docs"] for r in rows) == N_DOCS
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_docs"] for r in rows)
+
+
+def test_host_stats_salted(result):
+    hs = host_stats_salted(result).collect()
+    assert sum(r["n_docs"] for r in hs) == N_DOCS
+    by_host = {r["host"]: r["n_docs"] for r in hs}
+    # zipf skew: site00 is the hottest host
+    assert by_host["site00.example"] == max(by_host.values())
+
+
+def test_resume_produces_identical_output(spark, tmp_path):
+    cfg = QualityConfig(n_buckets=8)
+    sdf = pages_df(spark, 400)
+
+    full_dir = str(tmp_path / "full")
+    run_pipeline(sdf, full_dir, cfg, resume=False)
+
+    part_dir = str(tmp_path / "partial")
+    # simulated kill after 2 of 4 batches
+    r1 = run_pipeline(sdf, part_dir, cfg, resume=True, buckets_per_batch=2, max_batches=2)
+    assert len(r1["processed_buckets"]) == 4
+    assert completed_buckets(part_dir) == set(r1["processed_buckets"])
+    # resume: must skip completed buckets and finish the rest
+    r2 = run_pipeline(sdf, part_dir, cfg, resume=True, buckets_per_batch=2)
+    assert set(r2["skipped_buckets"]) == set(r1["processed_buckets"])
+    assert len(r2["processed_buckets"]) == 4
+
+    a = spark.read.parquet(os.path.join(full_dir, "docs")).select(
+        "url", "keep", "scrubbed_text", "bucket"
+    )
+    b = spark.read.parquet(os.path.join(part_dir, "docs")).select(
+        "url", "keep", "scrubbed_text", "bucket"
+    )
+    assert a.count() == b.count() == 400
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert completed_buckets(part_dir) == set(range(8))
