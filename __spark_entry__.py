@@ -1,38 +1,696 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship webtext quality-filter pipeline on
+sf0.001.  ``queries()`` maps SURVEY.md §2 operator IDs (plus the
+training-data ops) to callables; ``oracle_sql()`` holds the DuckDB
+equivalents.  Keys missing from ``oracle_sql`` are non-SQL-expressible
+(UDF-backed langid/perplexity, MinHash/SimHash LSH, multimodal
+plumbing) and get the driver's rows-only check.
+
+All float outputs are rounded identically on both sides so the
+order-insensitive value hash is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS_5 = ["the", "of", "and", "to", "in"]
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the north-rule quality filter over the documents table
+    adapted to the pages schema (url/warc_ts/html synthesized
+    deterministically from doc_id)."""
+    from pandas_dq_spark.webtext.heuristics import QualityConfig
+    from pandas_dq_spark.webtext.pipeline import quality_filter
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    cfg = QualityConfig(min_words=20, n_buckets=16)
+    out = quality_filter(pages, cfg)
+    return out.select(
+        "url",
+        "lang",
+        "lang_pred",
+        F.round("lang_score", 6).alias("lang_score"),
+        F.round("ppl", 4).alias("ppl"),
+        "n_words",
+        "is_dup",
+        "keep",
+        "dq_issue",
+        "bucket",
+    )
 
 
+# ------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- TPC-H-ish joins/aggregations -------------------------------
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_segment_revenue(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count_distinct("o_orderkey").alias("n_orders"),
+            )
+        )
+
+    q["q3_segment_revenue"] = q3_segment_revenue
+
+    def q5_nation_revenue(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        n = _t(spark, sf, "nation")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+        )
+
+    q["q5_nation_revenue"] = q5_nation_revenue
+
+    def q_top_customers(spark, sf):
+        o = _t(spark, sf, "orders")
+        from pyspark.sql import Window
+
+        totals = o.groupBy("o_custkey").agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+        )
+        w = Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
+        return (
+            totals.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("o_custkey", "total_spent", "rnk")
+        )
+
+    q["q_top_customers"] = q_top_customers
+
+    # ---- profile operators (SURVEY.md §2.4) --------------------------
+    def a1_missing_counts(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.agg(
+            F.sum((F.col("value").isNull() | F.isnan("value")).cast("long")).alias(
+                "value_missing"
+            ),
+            F.sum(F.col("props").isNull().cast("long")).alias("props_missing"),
+            F.count("*").alias("n_rows"),
+        )
+
+    q["a1_missing_counts"] = a1_missing_counts
+
+    def a2_distinct_counts(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.agg(
+            F.count_distinct("o_custkey").alias("d_custkey"),
+            F.count_distinct("o_orderstatus").alias("d_status"),
+            F.count_distinct("o_orderpriority").alias("d_priority"),
+        )
+
+    q["a2_distinct_counts"] = a2_distinct_counts
+
+    def a3_minmax(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.min("l_linenumber").alias("min_ln"),
+            F.max("l_linenumber").alias("max_ln"),
+        )
+
+    q["a3_minmax"] = a3_minmax
+
+    def a4_dup_count(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.agg(
+            (F.count("*") - F.count_distinct("text")).alias("dup_rows"),
+            F.count("*").alias("n_rows"),
+        )
+
+    q["a4_dup_count"] = a4_dup_count
+
+    def a5_dedup_survivors(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+
+    q["a5_dedup_survivors"] = a5_dedup_survivors
+
+    def a7_value_counts(spark, sf):
+        o = _t(spark, sf, "orders")
+        total = o.filter(F.col("o_orderpriority").isNotNull()).count()
+        return (
+            o.filter(F.col("o_orderpriority").isNotNull())
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.count("*") / F.lit(total), 6).alias("freq"),
+            )
+        )
+
+    q["a7_value_counts"] = a7_value_counts
+
+    def a10_outlier_counts(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        li.createOrReplaceTempView("li_a10")
+        return spark.sql(
+            """
+            WITH b AS (
+              SELECT percentile(l_extendedprice, 0.25) AS q1,
+                     percentile(l_extendedprice, 0.75) AS q3
+              FROM li_a10
+            )
+            SELECT CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1)
+                               OR l_extendedprice > q3 + 1.5*(q3-q1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   round(min(q1), 6) AS q1, round(min(q3), 6) AS q3
+            FROM li_a10, b
+            """
+        )
+
+    q["a10_outlier_counts"] = a10_outlier_counts
+
+    def a12_correlation(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        )
+
+    q["a12_correlation"] = a12_correlation
+
+    def a13_skewness(spark, sf):
+        ev = _t(spark, sf, "events")
+        n = F.count("value")
+        adj = F.sqrt(n * (n - 1)) / (n - 2)
+        return ev.agg(
+            F.round(F.skewness("value") * adj, 6).alias("skew_value"),
+            F.round(F.stddev("value"), 6).alias("stddev_value"),
+        )
+
+    q["a13_skewness"] = a13_skewness
+
+    def a14_class_balance(spark, sf):
+        o = _t(spark, sf, "orders")
+        total = o.filter(F.col("o_orderstatus").isNotNull()).count()
+        return (
+            o.filter(F.col("o_orderstatus").isNotNull())
+            .groupBy("o_orderstatus")
+            .agg(F.round(F.count("*") / F.lit(total), 6).alias("freq"))
+        )
+
+    q["a14_class_balance"] = a14_class_balance
+
+    def a17_ks_statistic(spark, sf):
+        from pandas_dq_spark.operators.ks import ks_2samp_df
+
+        ev = _t(spark, sf, "events")
+        a = ev.filter("event_type = 'click'")
+        b = ev.filter("event_type = 'error'")
+        ks = ks_2samp_df(a, "value", b, "value")
+        return spark.createDataFrame([(round(ks, 6),)], "ks double")
+
+    q["a17_ks_statistic"] = a17_ks_statistic
+
+    def a18_set_except(spark, sf):
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        return (
+            c.select(F.col("c_nationkey").alias("nationkey"))
+            .distinct()
+            .exceptAll(s.select(F.col("s_nationkey").alias("nationkey")).distinct())
+        )
+
+    q["a18_set_except"] = a18_set_except
+
+    def a19_id_zero_var(spark, sf):
+        from pandas_dq_spark.plans.profile import profile
+
+        c = _t(spark, sf, "customer")
+        st = profile(c, with_dates=False)
+        rows = [
+            (p.name, int(p.n_distinct), bool(p.is_id_like), bool(p.is_constant))
+            for p in st.columns.values()
+        ]
+        return spark.createDataFrame(
+            rows, "column_name string, n_distinct bigint, is_id boolean, is_const boolean"
+        )
+
+    q["a19_id_zero_var"] = a19_id_zero_var
+
+    def a22_strlen_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.groupBy("lang").agg(
+            F.max(F.length("text")).alias("max_len"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+        )
+
+    q["a22_strlen_stats"] = a22_strlen_stats
+
+    def a23_date_range(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.agg(
+            F.min(F.year("ts")).alias("min_year"),
+            F.max(F.year("ts")).alias("max_year"),
+            F.sum(
+                ((F.year("ts") >= 1900) & (F.year("ts") <= 2050)).cast("long")
+            ).alias("n_in_range"),
+        )
+
+    q["a23_date_range"] = a23_date_range
+
+    # ---- scalar / json / time functions ------------------------------
+    def f_json_extract(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
+        )
+
+    q["f_json_extract"] = f_json_extract
+
+    def f_daily_counts(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    q["f_daily_counts"] = f_daily_counts
+
+    # ---- text analysis / training-data ops ---------------------------
+    def t_token_counts(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.groupBy("lang").agg(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tokens")
+        )
+
+    q["t_token_counts"] = t_token_counts
+
+    def t_quality_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        sym = F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", "")) / F.length("text")
+        words = F.split(F.trim("text"), r"\s+")
+        mwl = F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x)) / F.size(words)
+        return d.groupBy("source").agg(
+            F.round(F.avg(sym), 6).alias("avg_symbol_ratio"),
+            F.round(F.avg(mwl), 6).alias("avg_word_len"),
+        )
+
+    q["t_quality_stats"] = t_quality_stats
+
+    def t_stopword_hits(spark, sf):
+        d = _t(spark, sf, "documents")
+        arr = F.array(*[F.lit(w) for w in STOPWORDS_5])
+        hits = F.size(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda x: F.array_contains(arr, x))
+        )
+        return d.groupBy("lang").agg(F.sum(hits).alias("stop_hits"))
+
+    q["t_stopword_hits"] = t_stopword_hits
+
+    def t_line_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        lines = F.split("text", "\n")
+        return d.agg(
+            F.sum(F.size(lines)).alias("total_lines"),
+            F.sum(F.size(F.array_distinct(lines))).alias("distinct_lines"),
+        )
+
+    q["t_line_stats"] = t_line_stats
+
+    def w_quality_rule_counts(spark, sf):
+        d = _t(spark, sf, "documents")
+        words = F.split(F.trim("text"), r"\s+")
+        n_words = F.size(words)
+        sym = F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", "")) / F.length("text")
+        arr = F.array(*[F.lit(w) for w in STOPWORDS_5])
+        stopfrac = F.size(F.filter(words, lambda x: F.array_contains(arr, x))) / n_words
+        lines = F.split("text", "\n")
+        repfrac = 1.0 - F.size(F.array_distinct(lines)) / F.size(lines)
+        return d.agg(
+            F.sum((n_words < 50).cast("long")).alias("n_short"),
+            F.sum((sym > 0.1).cast("long")).alias("n_symbol_heavy"),
+            F.sum((stopfrac < 0.02).cast("long")).alias("n_low_stopword"),
+            F.sum((repfrac > 0.3).cast("long")).alias("n_repeated_lines"),
+        )
+
+    q["w_quality_rule_counts"] = w_quality_rule_counts
+
+    # ---- similarity search -------------------------------------------
+    def s_cosine_topk(spark, sf):
+        from pandas_dq_spark.operators.similarity import cosine_expr
+
+        e = _t(spark, sf, "embeddings")
+        qv = e.filter("vec_id = 0").select("embedding").first()["embedding"]
+        sim = cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv]))
+        return (
+            e.filter("vec_id <> 0")
+            .select("vec_id", F.round(sim, 5).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("vec_id"))
+            .limit(10)
+        )
+
+    q["s_cosine_topk"] = s_cosine_topk
+
+    def s_label_best_sim(spark, sf):
+        from pandas_dq_spark.operators.similarity import cosine_expr
+
+        e = _t(spark, sf, "embeddings")
+        qv = e.filter("vec_id = 0").select("embedding").first()["embedding"]
+        sim = cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv]))
+        return (
+            e.filter("vec_id <> 0")
+            .groupBy("label")
+            .agg(F.round(F.max(sim), 5).alias("best_sim"))
+        )
+
+    q["s_label_best_sim"] = s_label_best_sim
+
+    # ---- non-SQL-expressible (rows-only driver check) -----------------
+    def m_minhash_near_dups(spark, sf):
+        from pandas_dq_spark.operators.dedup import minhash_lsh_duplicates
+
+        d = _t(spark, sf, "documents")
+        out = minhash_lsh_duplicates(d, "doc_id", threshold=0.6)
+        return out.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_near_dup").cast("long")).alias("n_near_dups"),
+        )
+
+    q["m_minhash_near_dups"] = m_minhash_near_dups
+
+    def m_simhash_near_dups(spark, sf):
+        from pandas_dq_spark.operators.dedup import simhash_duplicates
+
+        d = _t(spark, sf, "documents")
+        out = simhash_duplicates(d, "doc_id", max_hamming=3)
+        return out.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_near_dup").cast("long")).alias("n_near_dups"),
+        )
+
+    q["m_simhash_near_dups"] = m_simhash_near_dups
+
+    def w_webtext_keep_stats(spark, sf):
+        from pandas_dq_spark.webtext.heuristics import QualityConfig
+        from pandas_dq_spark.webtext.pipeline import quality_filter
+
+        d = _t(spark, sf, "documents")
+        pages = d.select(
+            F.concat(F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        out = quality_filter(pages, QualityConfig(min_words=20), check_extraction=False)
+        return out.groupBy("lang_pred").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+
+    q["w_webtext_keep_stats"] = w_webtext_keep_stats
+
+    def mm_media_features(spark, sf):
+        from pandas_dq_spark.operators.multimodal import extract_features, media_fixture
+
+        media = media_fixture(spark, 60)
+        feats = extract_features(media)
+        return feats.groupBy("kind").agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+        )
+
+    q["mm_media_features"] = mm_media_features
+
+    return q
 
 
+# ---------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_segment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_top_customers": """
+            WITH t AS (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, total_spent,
+                   row_number() OVER (ORDER BY total_spent DESC, o_custkey) AS rnk
+            FROM t QUALIFY rnk <= 5
+        """,
+        "a1_missing_counts": """
+            SELECT CAST(sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS value_missing,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_missing,
+                   count(*) AS n_rows
+            FROM events
+        """,
+        "a2_distinct_counts": """
+            SELECT count(DISTINCT o_custkey) AS d_custkey,
+                   count(DISTINCT o_orderstatus) AS d_status,
+                   count(DISTINCT o_orderpriority) AS d_priority
+            FROM orders
+        """,
+        "a3_minmax": """
+            SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln
+            FROM lineitem
+        """,
+        "a4_dup_count": """
+            SELECT count(*) - count(DISTINCT text) AS dup_rows, count(*) AS n_rows
+            FROM documents
+        """,
+        "a5_dedup_survivors": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "a7_value_counts": """
+            SELECT o_orderpriority, count(*) AS cnt,
+                   round(count(*) * 1.0 / (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL), 6) AS freq
+            FROM orders WHERE o_orderpriority IS NOT NULL
+            GROUP BY o_orderpriority
+        """,
+        "a10_outlier_counts": """
+            WITH b AS (
+              SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                     quantile_cont(l_extendedprice, 0.75) AS q3
+              FROM lineitem
+            )
+            SELECT CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1)
+                               OR l_extendedprice > q3 + 1.5*(q3-q1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   round(min(q1), 6) AS q1, round(min(q3), 6) AS q3
+            FROM lineitem, b
+        """,
+        "a12_correlation": """
+            SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc
+            FROM lineitem
+        """,
+        "a13_skewness": """
+            SELECT round(skewness(value), 6) AS skew_value,
+                   round(stddev_samp(value), 6) AS stddev_value
+            FROM events
+        """,
+        "a14_class_balance": """
+            SELECT o_orderstatus,
+                   round(count(*) * 1.0 / (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL), 6) AS freq
+            FROM orders WHERE o_orderstatus IS NOT NULL
+            GROUP BY o_orderstatus
+        """,
+        "a17_ks_statistic": """
+            WITH tagged AS (
+              SELECT value AS v, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t
+              FROM events WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+            ), pv AS (
+              SELECT v, sum(t) AS c1, sum(1 - t) AS c2 FROM tagged GROUP BY v
+            ), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pv),
+            cum AS (
+              SELECT sum(c1) OVER (ORDER BY v) AS cc1,
+                     sum(c2) OVER (ORDER BY v) AS cc2
+              FROM pv
+            )
+            SELECT round(max(abs(cc1 * 1.0 / (SELECT n1 FROM tot)
+                               - cc2 * 1.0 / (SELECT n2 FROM tot))), 6) AS ks
+            FROM cum
+        """,
+        "a18_set_except": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "a19_id_zero_var": """
+            SELECT 'c_custkey' AS column_name, count(DISTINCT c_custkey) AS n_distinct,
+                   count(DISTINCT c_custkey) = count(*) AND count(*) - count(c_custkey) = 0 AS is_id,
+                   count(DISTINCT c_custkey) = 1 AS is_const FROM customer
+            UNION ALL
+            SELECT 'c_name', count(DISTINCT c_name),
+                   count(DISTINCT c_name) = count(*) AND count(*) - count(c_name) = 0,
+                   count(DISTINCT c_name) = 1 FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', count(DISTINCT c_nationkey),
+                   count(DISTINCT c_nationkey) = count(*) AND count(*) - count(c_nationkey) = 0,
+                   count(DISTINCT c_nationkey) = 1 FROM customer
+            UNION ALL
+            SELECT 'c_acctbal', count(DISTINCT c_acctbal),
+                   count(DISTINCT c_acctbal) = count(*) AND count(*) - count(c_acctbal) = 0,
+                   count(DISTINCT c_acctbal) = 1 FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', count(DISTINCT c_mktsegment),
+                   count(DISTINCT c_mktsegment) = count(*) AND count(*) - count(c_mktsegment) = 0,
+                   count(DISTINCT c_mktsegment) = 1 FROM customer
+        """,
+        "a22_strlen_stats": """
+            SELECT lang, max(length(text)) AS max_len,
+                   round(avg(length(text)), 6) AS avg_len
+            FROM documents GROUP BY lang
+        """,
+        "a23_date_range": """
+            SELECT CAST(min(year(ts)) AS INT) AS min_year,
+                   CAST(max(year(ts)) AS INT) AS max_year,
+                   CAST(sum(CASE WHEN year(ts) BETWEEN 1900 AND 2050 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range
+            FROM events
+        """,
+        "f_json_extract": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "f_daily_counts": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "t_token_counts": """
+            SELECT lang,
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang
+        """,
+        "t_quality_stats": """
+            SELECT source,
+                   round(avg(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 1.0 / length(text)), 6) AS avg_symbol_ratio,
+                   round(avg(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> length(x))) * 1.0
+                             / len(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_word_len
+            FROM documents GROUP BY source
+        """,
+        "t_stopword_hits": """
+            SELECT lang,
+                   CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                            x -> list_contains(['the','of','and','to','in'], x)))) AS BIGINT) AS stop_hits
+            FROM documents GROUP BY lang
+        """,
+        "t_line_stats": """
+            SELECT CAST(sum(len(string_split(text, chr(10)))) AS BIGINT) AS total_lines,
+                   CAST(sum(len(list_distinct(string_split(text, chr(10))))) AS BIGINT) AS distinct_lines
+            FROM documents
+        """,
+        "w_quality_rule_counts": """
+            WITH s AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS words,
+                     length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 1.0 / length(text) AS sym,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), s2 AS (
+              SELECT len(words) AS n_words, sym,
+                     len(list_filter(words, x -> list_contains(['the','of','and','to','in'], x))) * 1.0 / len(words) AS stopfrac,
+                     1.0 - len(list_distinct(lines)) * 1.0 / len(lines) AS repfrac
+              FROM s
+            )
+            SELECT CAST(sum(CASE WHEN n_words < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+                   CAST(sum(CASE WHEN sym > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_heavy,
+                   CAST(sum(CASE WHEN stopfrac < 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+                   CAST(sum(CASE WHEN repfrac > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated_lines
+            FROM s2
+        """,
+        "s_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe), 5) AS sim
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "s_label_best_sim": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT label,
+                   round(max(list_cosine_similarity(embedding::DOUBLE[], qe)), 5) AS best_sim
+            FROM embeddings, q WHERE vec_id <> 0
+            GROUP BY label
+        """,
+    }

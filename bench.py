@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is the webtext quality-filter pipeline's docs/sec
+(the north-rule metric); per-query wall times cover the operator
+inventory's heavy hitters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_nation_revenue",
+    "a10_outlier_counts",
+    "a12_correlation",
+    "a17_ks_statistic",
+    "t_token_counts",
+    "w_quality_rule_counts",
+    "s_cosine_topk",
+    "m_minhash_near_dups",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from pandas_dq_spark.session import get_spark
+    from pandas_dq_spark.webtext.heuristics import QualityConfig
+    from pandas_dq_spark.webtext.pipeline import quality_filter
+
+    import pyspark.sql.functions as F
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+
+    qs = entrymod.queries()
+    # warm-up: JVM/codegen/Arrow init
+    qs["a2_distinct_counts"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # flagship: full quality-filter pipeline over documents-as-pages
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    n_docs = pages.count()
+    t0 = time.perf_counter()
+    out = quality_filter(pages, QualityConfig(min_words=20), check_extraction=False)
+    # force full materialization of every column incl. scrub + issues
+    out.select(F.sum(F.length("scrubbed_text")), F.sum(F.size("issues")), F.sum(F.col("keep").cast("long"))).collect()
+    wt_sec = time.perf_counter() - t0
+    timings["wt_quality_filter"] = round(wt_sec, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "docs_per_sec": round(n_docs / wt_sec, 2),
+                "n_docs": n_docs,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

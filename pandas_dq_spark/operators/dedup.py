@@ -1,0 +1,337 @@
+"""Deduplication suite for training-data pipelines (prompt §'beyond
+the reference'): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (10^12 docs):
+- exact: shuffles (hash, id) only — the text never moves.
+- minhash-LSH: signatures are computed scan-side (JVM expressions for
+  shingling + k permutation mins), then ONE explode to (band,
+  band_hash) and a groupBy — the classic shingle->minhash->band->
+  bucket-join; candidate verification compares signatures, never the
+  raw text.
+- simhash: vectorized numpy inside one pandas UDF (64 bit-planes over
+  token hashes is branch-free in numpy, painful as 64 Catalyst
+  aggregates), then band-bucketing like LSH.
+- 'keep first' cluster resolution is single-pass: a doc is a dup if
+  any bucket pairs it with a smaller id.  (Full connected components
+  would need iteration; min-id-per-bucket is the standard one-pass
+  approximation and is exact when a cluster shares >= 1 bucket, which
+  near-identical docs do.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 2^31-1: keeps h*a + b < 2^62 so the permutation arithmetic cannot
+# overflow ANSI-mode 64-bit integers
+_MERSENNE = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------- exact
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Adds is_dup: survivor = min(id) per sha2(text) group."""
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    slim = df.select(F.col(id_col).alias("__id"), h.alias("__h"))
+    w = Window.partitionBy("__h").orderBy("__id")
+    verdict = slim.withColumn("__rn", F.row_number().over(w)).select(
+        F.col("__id").alias(id_col), (F.col("__rn") > 1).alias("is_dup")
+    )
+    return df.join(verdict, id_col, "left")
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    marked = exact_duplicates(df, id_col, text_col)
+    return marked.filter(~F.col("is_dup")).drop("is_dup")
+
+
+# ------------------------------------------------------------- shingles
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array<string> — pure expressions."""
+    w = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, _MERSENNE)), int(rng.integers(0, _MERSENNE)))
+        for _ in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signature table, JVM-side.
+
+    Two materialization barriers on purpose: Catalyst's
+    CollapseProject would otherwise inline the shingling expression
+    into each of the k permutation-min expressions (k x the string
+    work) and again into both sides of the LSH self-join.  Shingle
+    hashes are persisted, the signature table is persisted and
+    materialized, then the intermediate is released.  At cluster scale
+    the signature table is exactly what you'd write to storage."""
+    sh = word_shingles(text_col, shingle_n)
+    hashes = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))).alias("h"),
+        )
+        .filter(F.size("h") > 0)
+        .persist()
+    )
+    mins = [
+        F.array_min(
+            F.transform(F.col("h"), lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+        )
+        for a, b in _perm_params(num_hashes, seed)
+    ]
+    sig = hashes.select("id", F.array(*mins).alias("sig")).persist()
+    sig.count()  # materialize before releasing the hash arrays
+    hashes.unpersist()
+    return sig
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup marking.
+
+    Returns (id_col, is_near_dup).  A doc is a near-dup if an LSH band
+    collides with a smaller-id doc AND the full-signature match
+    fraction >= threshold (signature Jaccard estimate)."""
+    rows = num_hashes // bands
+    base = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = base.select("id", "sig", F.explode(band_structs).alias("b")).select(
+        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    # candidate pairs within a bucket; join smaller id to larger id
+    left = exploded.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    right = exploded.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    match_frac = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("sig_a")
+    confirmed = pairs.withColumn("match_frac", match_frac).filter(
+        F.col("match_frac") >= threshold
+    )
+    dup_ids = confirmed.select(F.col("id_b").alias("id")).distinct()
+    return df.join(
+        dup_ids.withColumn("is_near_dup", F.lit(True)),
+        df[id_col] == dup_ids["id"],
+        "left",
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("is_near_dup"), F.lit(False)).alias("is_near_dup"),
+    )
+
+
+# -------------------------------------------------------------- simhash
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens — vectorized numpy.
+
+    Per Arrow batch: hash every token (stable FNV-1a via numpy uint64
+    ops), accumulate +-1 per bit plane, sign -> bits."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.array([_fnv1a64(tok) for tok in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig
+    return pd.Series(out.astype(np.int64))
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the 64 bits into ``bands`` 16-bit keys —
+    any pair within hamming distance < bands shares >= 1 exact band
+    (pigeonhole), so bucketing on bands finds all candidates; verify
+    with popcount."""
+    base = df.select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
+    ).persist()  # compute the UDF once, not on both join sides
+    width = 64 // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sh", b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = base.select("id", "sh", F.explode(band_cols).alias("b")).select(
+        "id", "sh", "b.band", "b.key"
+    )
+    left = exploded.select("band", "key", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = exploded.select("band", "key", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    confirmed = pairs.filter(hamming <= max_hamming)
+    dup_ids = confirmed.select(F.col("id_b").alias("id")).distinct()
+    return df.join(
+        dup_ids.withColumn("is_near_dup", F.lit(True)),
+        df[id_col] == dup_ids["id"],
+        "left",
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("is_near_dup"), F.lit(False)).alias("is_near_dup"),
+    )
+
+
+# ------------------------------------------------------- ngram jaccard
+def jaccard_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Exact Jaccard of two string arrays (set semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    bucket_hashes: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-generated candidate pairs: a
+    cheap 8-hash MinHash banding proposes candidates, exact
+    array_intersect/array_union verifies.  Never O(n^2)."""
+    sh = word_shingles(text_col, shingle_n)
+    base = (
+        df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    withsig = minhash_signatures(df, id_col, text_col, bucket_hashes, shingle_n)
+    buckets = withsig.select(
+        "id", F.explode(F.col("sig")).alias("bh")
+    )
+    pairs = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), "bh")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH buckets + exact
+    verification inside buckets (zip_with dot product)."""
+    from .similarity import cosine_expr, hyperplane_bucket
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucket = hyperplane_bucket(
+        F.col("v"), planes=planes, seed=seed, dim=dim, df=df, vec_col=vec_col
+    )
+    base = base.withColumn("bucket", bucket)
+    left = base.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    right = base.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs

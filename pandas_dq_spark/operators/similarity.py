@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — broadcast the query
+  vector as a literal array, one narrow projection computes the dot
+  product via zip_with/aggregate, top-k via orderBy+limit (Spark
+  executes that as a TakeOrdered, no full sort shuffle).
+- LSH-bucketed ANN: random-hyperplane signatures bucket the table
+  scan-side; queries probe only matching buckets (multi-probe over
+  hamming-adjacent buckets for recall).  The scale path: bucketing is
+  a narrow map, probing is a bucket-pruned filter.
+- IVF-style variant: seeded k-means-lite centroids (driver-fit on a
+  sample), assign scan-side, probe nearest n_probe centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two array<numeric> columns — JVM-side."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def _lit_vec(vec) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    Plan: scan -> project(sim) -> TakeOrderedAndProject(k). No shuffle
+    of the vectors; only k rows reach the driver side of the sort."""
+    sim = cosine_expr(F.col(vec_col), _lit_vec(query_vec))
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim))
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])
+
+
+def hyperplane_bucket(
+    vec: F.Column,
+    planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    df: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> F.Column:
+    """Sign-of-projection LSH bucket id (int) — pure expressions: each
+    plane's dot product is a zip_with/aggregate against a literal
+    array; the sign bits pack into an int."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    H = _hyperplanes(dim, planes, seed)
+    bucket = F.lit(0).cast("long")
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    for p in range(planes):
+        dot = F.aggregate(
+            F.zip_with(vd, _lit_vec(H[p]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    seed: int = 42,
+    multiprobe_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket plus all buckets within
+    ``multiprobe_hamming`` bit flips (recall knob).  At scale the
+    bucket column is precomputed+partitioned so this is a partition-
+    pruned scan of a tiny fraction of the table."""
+    q = np.asarray(query_vec, dtype=float)
+    H = _hyperplanes(len(q), planes, seed)
+    qbits = int(sum((1 << p) for p in range(planes) if H[p] @ q > 0))
+    probes = {qbits}
+    if multiprobe_hamming >= 1:
+        for p in range(planes):
+            probes.add(qbits ^ (1 << p))
+    if multiprobe_hamming >= 2:
+        for p1 in range(planes):
+            for p2 in range(p1 + 1, planes):
+                probes.add(qbits ^ (1 << p1) ^ (1 << p2))
+    bucket = hyperplane_bucket(
+        F.col(vec_col), planes=planes, seed=seed, dim=len(q)
+    )
+    sim = cosine_expr(F.col(vec_col), _lit_vec(q))
+    return (
+        df.withColumn("__bucket", bucket)
+        .filter(F.col("__bucket").isin(*[int(b) for b in probes]))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_fit_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample: int = 2000,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample — the IVF coarse
+    quantizer.  Centroids are tiny fit-state, broadcast as literals."""
+    total = df.count()
+    frac = min(1.0, sample / max(total, 1))
+    pdf = df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
+    X = np.array(pdf[vec_col].tolist(), dtype=float)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(0)
+    return C
+
+
+def ivf_assign_expr(vec: F.Column, centroids: np.ndarray) -> F.Column:
+    """Nearest-centroid id as a pure expression (argmin of squared
+    distances, each a zip_with/aggregate against a literal array)."""
+    best = None
+    for j, c in enumerate(centroids):
+        dist = F.aggregate(
+            F.zip_with(
+                F.transform(vec, lambda x: x.cast("double")),
+                _lit_vec(c),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cand = F.struct(dist.alias("d"), F.lit(j).alias("j"))
+        best = cand if best is None else F.least(best, cand)
+    return best["j"]
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = np.asarray(query_vec, dtype=float)
+    d = ((centroids - q) ** 2).sum(1)
+    probe = [int(j) for j in d.argsort()[:n_probe]]
+    assign = ivf_assign_expr(F.col(vec_col), centroids)
+    sim = cosine_expr(F.col(vec_col), _lit_vec(q))
+    return (
+        df.withColumn("__cell", assign)
+        .filter(F.col("__cell").isin(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

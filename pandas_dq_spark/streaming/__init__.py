@@ -1,0 +1,82 @@
+"""Structured Streaming wrappers (SURVEY.md §1.4/§2.9).
+
+The reference is batch-only and the north rule is batch-resumable, so
+streaming is a thin adapter: the SAME stage builders (quality_filter,
+FixDQ.transform — both pure column expressions over a DataFrame) are
+applied inside ``foreachBatch`` or directly on a streaming DataFrame
+(stats/rules/scrub are stateless projections, so they stream as-is;
+only the exact-dedup mark, which needs a global shuffle, is replaced
+by ``dropDuplicatesWithinWatermark`` in streaming mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..webtext.heuristics import QualityConfig, add_stats, rule_exprs
+from ..webtext.pipeline import ISSUE_TYPE
+from ..webtext.scrub import scrub_col
+from ..webtext.udfs import make_text_scores_udf
+
+
+def streaming_quality_filter(
+    stream_df: DataFrame,
+    cfg: QualityConfig | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Stateless rule/scrub stages applied to a streaming DataFrame;
+    exact dedup becomes watermark-scoped dedup on the text hash (the
+    streaming-legal analogue of the batch global dedup)."""
+    cfg = cfg or QualityConfig()
+    out = stream_df.withWatermark(ts_col, watermark)
+    out = add_stats(out, cfg)
+    scores_udf = make_text_scores_udf(cfg.stopwords)
+    out = out.withColumn("__ts", scores_udf(F.col("text")))
+    for fld in (
+        "lang_pred",
+        "lang_score",
+        "ppl",
+        "n_words",
+        "mean_word_len",
+        "stopword_frac",
+        "non_alpha_word_frac",
+    ):
+        out = out.withColumn(fld, F.col(f"__ts.{fld}"))
+    out = out.drop("__ts")
+    out = out.withColumn(
+        "__text_hash", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+    )
+    out = out.dropDuplicatesWithinWatermark(["__text_hash"]).withColumn(
+        "is_dup", F.lit(False)
+    )
+    issue_structs = [
+        F.when(
+            pred,
+            F.struct(
+                F.lit(name).alias("check"),
+                F.lit("drop").alias("severity"),
+                F.lit(detail).alias("detail"),
+            ),
+        )
+        for name, pred, detail in rule_exprs(cfg)
+    ]
+    out = out.withColumn(
+        "issues",
+        F.filter(F.array(*issue_structs), lambda x: x.isNotNull()).cast(ISSUE_TYPE),
+    )
+    out = out.withColumn("keep", F.size("issues") == 0)
+    out = out.withColumn("scrubbed_text", scrub_col(F.col("text")))
+    return out.drop("__text_hash")
+
+
+def quality_filter_foreach_batch(cfg: QualityConfig | None = None):
+    """``writeStream.foreachBatch`` adapter reusing the full BATCH
+    pipeline (including the exact global dedup within each micro-batch)."""
+    from ..webtext.pipeline import quality_filter
+
+    def fn(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return quality_filter(batch_df, cfg, check_extraction=False)
+
+    return fn

@@ -51,44 +51,27 @@ def words_col(text: Column) -> Column:
 
 
 def add_stats(df: DataFrame, cfg: QualityConfig, text_col: str = "text") -> DataFrame:
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    words = words_col(t)
-    lines = F.split(t, "\n")
-    stop_arr = F.array(*[F.lit(w) for w in cfg.stopwords])
-    n_words = F.size(words)
-    n_lines = F.size(lines)
+    """Char- and line-level statistics as Catalyst expressions.
 
-    word_len_sum = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
-    )
+    Token-level statistics (n_words, mean_word_len, stopword_frac,
+    non_alpha_word_frac) live in the fused pandas UDF
+    (webtext.udfs.make_text_scores_udf) together with langid and
+    perplexity: measured at 1M docs the expression versions cost 66s
+    (CollapseProject re-inlines split() into every consumer and
+    array_contains linear-scans the stopword list per token) vs ~4s
+    for the single Arrow pass that is already being paid for langid."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
     n_symbols = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", ""))
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    n_non_alpha_words = F.size(
-        F.filter(words, lambda w: ~w.rlike(r"\p{L}"))
-    )
-    n_ellipsis_lines = F.size(
-        F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))
-    )
+    n_ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
     n_distinct_lines = F.size(F.array_distinct(lines))
 
     return (
         df.withColumn("n_chars", F.length(t))
-        .withColumn("n_words", n_words)
-        .withColumn(
-            "mean_word_len",
-            F.when(n_words > 0, word_len_sum / n_words).otherwise(F.lit(0.0)),
-        )
         .withColumn(
             "symbol_ratio",
             F.when(F.length(t) > 0, n_symbols / F.length(t)).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "stopword_frac",
-            F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "non_alpha_word_frac",
-            F.when(n_words > 0, n_non_alpha_words / n_words).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "repeated_line_frac",

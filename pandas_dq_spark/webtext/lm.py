@@ -77,15 +77,33 @@ LANG_MARKERS: dict[str, frozenset] = {
 }
 
 
+# word -> owning language, single dict for one-pass scoring (markers
+# are disjoint by construction, so this loses no information)
+MARKER_LANG: dict[str, str] = {}
+for _lang in LANG_POOLS:  # insertion order = tie-break order
+    for _w in LANG_MARKERS[_lang]:
+        MARKER_LANG[_w] = _lang
+
+_LANG_ORDER = list(LANG_POOLS)
+
+
 def langid_scores(tokens: list[str]) -> tuple[str, float]:
     """(best_lang, score) — score is the marker-hit fraction.
 
-    Returns ("und", 0.0) for empty token lists."""
+    Returns ("und", 0.0) for empty token lists.  Single pass over the
+    tokens with one dict lookup each; argmax tie-break follows
+    LANG_POOLS order with strict-greater comparison (first wins)."""
     if not tokens:
         return "und", 0.0
+    counts: dict[str, int] = {}
+    get = MARKER_LANG.get
+    for t in tokens:
+        lang = get(t)
+        if lang is not None:
+            counts[lang] = counts.get(lang, 0) + 1
     best_lang, best = "und", 0
-    for lang, markers in LANG_MARKERS.items():
-        hits = sum(1 for t in tokens if t in markers)
+    for lang in _LANG_ORDER:
+        hits = counts.get(lang, 0)
         if hits > best:
             best, best_lang = hits, lang
     return best_lang, best / len(tokens)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .heuristics import QualityConfig, add_stats, rule_exprs
 from .scrub import pii_hit_count, scrub_col
-from .udfs import langid_udf, perplexity_udf
+from .udfs import make_text_scores_udf
 
 ISSUE_TYPE = "array<struct<check:string,severity:string,detail:string>>"
 
@@ -53,17 +53,37 @@ def with_extracted(df: DataFrame, html: str = "html") -> DataFrame:
     return df.withColumn("extracted_text", extracted)
 
 
-def mark_duplicates(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
+def mark_duplicates(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    broadcast_dups: bool = True,
+) -> DataFrame:
     """Exact dedup: survivor = lexicographically smallest url per
     sha2(text) group (deterministic under any parallelism — SURVEY.md
-    §7.3 hard-part 5).  Shuffles only (hash, url)."""
+    §7.3 hard-part 5).
+
+    Only (hash, url) — ~50 bytes/row — is shuffled; the text never
+    moves.  The verdict that joins back is reduced to just the
+    DUPLICATE urls (rn > 1), which is tiny for realistic dup rates,
+    and broadcast — so the wide main table is never shuffled.  With
+    ``broadcast_dups=False`` (10^12-doc scale where even the dup set
+    is huge) the join falls back to sort-merge; co-locate it with the
+    output's url-hash bucketing."""
     h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     slim = df.select(F.col(url_col).alias("__u"), h.alias("__h"))
     w = Window.partitionBy("__h").orderBy("__u")
-    verdict = slim.withColumn("__rn", F.row_number().over(w)).select(
-        F.col("__u").alias(url_col), (F.col("__rn") > 1).alias("is_dup")
+    dup_urls = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("__u").alias(url_col))
+        .withColumn("__is_dup", F.lit(True))
     )
-    return df.join(verdict, url_col, "left")
+    if broadcast_dups:
+        dup_urls = F.broadcast(dup_urls)
+    return df.join(dup_urls, url_col, "left").withColumn(
+        "is_dup", F.coalesce(F.col("__is_dup"), F.lit(False))
+    ).drop("__is_dup")
 
 
 def quality_filter(
@@ -83,11 +103,20 @@ def quality_filter(
             "extract_ok", F.coalesce(F.col("extracted_text") == F.col("text"), F.lit(False))
         )
     out = add_stats(out, cfg)
-    out = out.withColumn("__lid", langid_udf(F.col("text")))
-    out = out.withColumn("lang_pred", F.col("__lid.lang_pred")).withColumn(
-        "lang_score", F.col("__lid.lang_score")
-    ).drop("__lid")
-    out = out.withColumn("ppl", perplexity_udf(F.col("text")))
+    # one Arrow pass: langid + perplexity + token-level stats
+    scores_udf = make_text_scores_udf(cfg.stopwords)
+    out = out.withColumn("__ts", scores_udf(F.col("text")))
+    for fld in (
+        "lang_pred",
+        "lang_score",
+        "ppl",
+        "n_words",
+        "mean_word_len",
+        "stopword_frac",
+        "non_alpha_word_frac",
+    ):
+        out = out.withColumn(fld, F.col(f"__ts.{fld}"))
+    out = out.drop("__ts")
     out = mark_duplicates(out)
 
     rules = rule_exprs(cfg)

@@ -38,3 +38,68 @@ def langid_udf(texts: pd.Series) -> pd.DataFrame:
 @F.pandas_udf(T.DoubleType())
 def perplexity_udf(texts: pd.Series) -> pd.Series:
     return pd.Series([perplexity((t or "").split()) for t in texts])
+
+
+# ---- fused token-stats + scores UDF (the pipeline's hot path) --------
+#
+# Measured at 1M docs / local[32]: token-level stats as Catalyst array
+# expressions cost 66s — CollapseProject inlines split() into every
+# consumer and array_contains linear-scans the stopword literal per
+# token — while this single Arrow pass costs ~4s.  "UDFs are the slow
+# path" loses to O(tokens x stopwords) JVM scans here, and langid+ppl
+# already require the Python pass, so the marginal cost of the extra
+# counters is near zero.
+
+TEXT_SCORES_SCHEMA = T.StructType(
+    [
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("lang_score", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("mean_word_len", T.DoubleType()),
+        T.StructField("stopword_frac", T.DoubleType()),
+        T.StructField("non_alpha_word_frac", T.DoubleType()),
+    ]
+)
+
+def make_text_scores_udf(stopwords: tuple):
+    stop_set = frozenset(stopwords)
+    # per-word memo (scoped to this UDF's stopword set): word ->
+    # (len, is_stop, has_alpha); web text repeats words heavily so
+    # this amortizes the per-char isalpha() scan
+    memo: dict[str, tuple] = {}
+
+    def _word_props(w: str) -> tuple:
+        p = memo.get(w)
+        if p is None:
+            p = (len(w), w in stop_set, any(c.isalpha() for c in w))
+            if len(memo) < 2_000_000:
+                memo[w] = p
+        return p
+
+    @F.pandas_udf(TEXT_SCORES_SCHEMA)
+    def text_scores_udf(texts: pd.Series) -> pd.DataFrame:
+        out = {f.name: [] for f in TEXT_SCORES_SCHEMA.fields}
+        for t in texts:
+            toks = (t or "").split()
+            n = len(toks)
+            lang, score = langid_scores(toks)
+            ppl = perplexity(toks)
+            sum_len = n_stop = n_nonalpha = 0
+            for w in toks:
+                wl, ws, wa = _word_props(w)
+                sum_len += wl
+                if ws:
+                    n_stop += 1
+                if not wa:
+                    n_nonalpha += 1
+            out["lang_pred"].append(lang)
+            out["lang_score"].append(score)
+            out["ppl"].append(ppl)
+            out["n_words"].append(n)
+            out["mean_word_len"].append(sum_len / n if n else 0.0)
+            out["stopword_frac"].append(n_stop / n if n else 0.0)
+            out["non_alpha_word_frac"].append(n_nonalpha / n if n else 0.0)
+        return pd.DataFrame(out)
+
+    return text_scores_udf

@@ -1,0 +1,214 @@
+"""Dedup suite, similarity search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_dq_spark.functions.textstats import (
+    fingerprint,
+    lang_guess_expr,
+    quality_score,
+    token_count,
+)
+from pandas_dq_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_duplicates,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from pandas_dq_spark.operators.multimodal import (
+    extract_features,
+    media_fixture,
+    sample_frames,
+)
+from pandas_dq_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    ivf_fit_centroids,
+)
+from pandas_dq_spark.webtext.lm import EN_STOPWORDS, LANG_POOLS
+
+
+def _near_dup_corpus(spark, n_base=60, seed=5):
+    """Docs 0..n-1 unique; each doc i has a near-dup copy (one word
+    changed) at id i+1000 and an exact copy at id i+2000."""
+    rng = np.random.default_rng(seed)
+    pool = LANG_POOLS["en"]
+    rows = []
+    for i in range(n_base):
+        words = [pool[int(rng.integers(0, len(pool)))] for _ in range(80)]
+        text = " ".join(words)
+        rows.append((i, text))
+        near = words.copy()
+        near[5] = "changedword"
+        rows.append((i + 1000, " ".join(near)))
+        rows.append((i + 2000, text))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark):
+    df = _near_dup_corpus(spark)
+    marked = exact_duplicates(df, "doc_id")
+    assert marked.filter("is_dup").count() == 60  # the i+2000 copies
+    kept = dedup_exact(df, "doc_id")
+    assert kept.count() == 120
+    # survivor is the smaller id
+    assert kept.filter(F.col("doc_id") >= 2000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _near_dup_corpus(spark)
+    out = minhash_lsh_duplicates(df, "doc_id", threshold=0.6)
+    dup_ids = {r["doc_id"] for r in out.filter("is_near_dup").collect()}
+    # every near/exact copy (ids >= 1000) should be flagged
+    flagged_copies = {d for d in dup_ids if d >= 1000}
+    assert len(flagged_copies) >= 0.95 * 120
+    # no false positives among distinct base docs
+    assert all(d >= 1000 for d in dup_ids)
+
+
+def test_simhash_finds_near_dups(spark):
+    df = _near_dup_corpus(spark)
+    out = simhash_duplicates(df, "doc_id", max_hamming=4)
+    dup_ids = {r["doc_id"] for r in out.filter("is_near_dup").collect()}
+    assert {d for d in dup_ids if d >= 2000} == set(range(2000, 2060))
+    assert sum(1 for d in dup_ids if 1000 <= d < 2000) >= 48  # 1-word edits
+    assert all(d >= 1000 for d in dup_ids)
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = _near_dup_corpus(spark, n_base=30)
+    pairs = ngram_jaccard_pairs(df, "doc_id", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact copies must appear with jaccard 1.0
+    for i in range(30):
+        assert (i, i + 2000) in got
+    for r in pairs:
+        if r["id_b"] == r["id_a"] + 2000:
+            assert r["jaccard"] == pytest.approx(1.0)
+
+
+def test_embedding_near_duplicates(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # append jittered copies of the first 20 vectors
+    base = emb.limit(20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-4)).alias("embedding"),
+        F.col("label"),
+    )
+    both = emb.unionByName(base)
+    pairs = embedding_near_duplicates(both, "vec_id", threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    found = sum(1 for i in range(20) if (i, i + 100000) in got)
+    assert found >= 18  # LSH recall on near-identical vectors
+
+
+def test_cosine_topk_bruteforce_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=float)
+    q = X[0]
+    sims = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-sims, pdf["vec_id"]))[:10]
+    exp = [int(v) for _, v in order]
+    got = [r["vec_id"] for r in cosine_topk_bruteforce(emb, q, k=10).collect()]
+    assert got == exp
+
+
+def test_cosine_topk_lsh_recall_on_planted_neighbors(spark, sf_dir):
+    """Hyperplane LSH is a near-neighbor structure: on uniform random
+    vectors (no close neighbors — top-10 cosine is ~0.37 here) recall
+    is necessarily near the scanned-fraction baseline, so the honest
+    test plants true neighbors and measures their retrieval."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=float)
+    q = X[0]
+    rng = np.random.default_rng(9)
+    planted = [
+        (10000 + j, (q + rng.normal(0, 0.02, q.shape)).astype(np.float32).tolist(), 0)
+        for j in range(10)
+    ]
+    both = emb.unionByName(
+        spark.createDataFrame(planted, emb.schema)
+    ).cache()
+    exact = {r["vec_id"] for r in cosine_topk_bruteforce(both, q, k=10).collect()}
+    approx = {r["vec_id"] for r in cosine_topk_lsh(both, q, k=10).collect()}
+    assert len(exact & approx) / 10 >= 0.8
+    both.unpersist()
+
+
+def test_cosine_topk_ivf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=float)
+    C = ivf_fit_centroids(emb, n_centroids=8, seed=1)
+    q = X[3]
+    exact = {r["vec_id"] for r in cosine_topk_bruteforce(emb, q, k=10).collect()}
+    # n_probe=8 of 8 centroids scans everything -> must equal exact;
+    # n_probe=4 is the approximate path
+    full = {r["vec_id"] for r in cosine_topk_ivf(emb, q, C, k=10, n_probe=8).collect()}
+    assert full == exact
+    approx = {r["vec_id"] for r in cosine_topk_ivf(emb, q, C, k=10, n_probe=4).collect()}
+    assert len(exact & approx) / 10 >= 0.4
+
+
+def test_textstats_expressions(spark):
+    pdf = pd.DataFrame(
+        {
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "",
+                "der hund ist nicht ein katze und der vogel",
+            ]
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.select(
+        token_count(F.col("text")).alias("n"),
+        lang_guess_expr(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text"), EN_STOPWORDS).alias("q"),
+    ).collect()
+    assert out[0]["n"] == 9
+    assert out[0]["lang"] == "en"
+    assert out[2]["lang"] == "de"
+    # fingerprint is whitespace-normalization invariant
+    fp2 = (
+        spark.createDataFrame(pd.DataFrame({"text": ["the  quick \n brown fox jumps over the lazy dog"]}))
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .collect()[0]["fp"]
+    )
+    assert fp2 == out[0]["fp"]
+    assert 0.0 <= out[1]["q"] <= 0.1  # empty doc scores ~0
+
+
+def test_multimodal_plumbing(spark):
+    media = media_fixture(spark, 60)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows[:5]:
+        assert len(r["features"]) == 32
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+    frames = sample_frames(media.filter("kind = 'video'"), n_frames=4)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_media)
+    # deterministic across runs
+    again = extract_features(media).collect()
+    assert [r["features"] for r in again[:5]] == [r["features"] for r in rows[:5]]
+
+
+def test_multimodal_real_mode_is_explicit_stub(spark):
+    media = media_fixture(spark, 3)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        extract_features(media, decode_mode="real").collect()
