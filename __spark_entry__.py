@@ -389,6 +389,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w_quality_rule_counts"] = w_quality_rule_counts
 
+    # ---- Fix_DQ scalar fixes (F1/F5/F6/F8) ----------------------------
+    def f_scalar_fixes(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.agg(
+            F.round(F.sum(F.least("l_extendedprice", F.lit(50000.0))), 2).alias("cap_sum"),
+            F.round(F.sum(F.log1p("l_quantity")), 2).alias("log1p_sum"),
+        )
+
+    q["f_scalar_fixes"] = f_scalar_fixes
+
+    def f_rare_replace(spark, sf):
+        _t(spark, sf, "orders").createOrReplaceTempView("orders_fr")
+        return spark.sql(
+            """
+            WITH f AS (
+              SELECT o_orderpriority AS v,
+                     count(*) OVER (PARTITION BY o_orderpriority) * 1.0
+                       / count(*) OVER () AS freq
+              FROM orders_fr
+            )
+            SELECT CASE WHEN freq < 0.15 THEN 'Rare' ELSE v END AS val,
+                   count(*) AS cnt
+            FROM f GROUP BY 1
+            """
+        )
+
+    q["f_rare_replace"] = f_rare_replace
+
+    def f_yeo_johnson(spark, sf):
+        # closed-form Yeo-Johnson at fixed lambda=0.5 on a non-negative
+        # column (the F8 transform expression, SURVEY.md §2.8)
+        li = _t(spark, sf, "lineitem")
+        yj = (F.pow(F.col("l_quantity") + 1.0, F.lit(0.5)) - 1.0) / 0.5
+        return li.agg(F.round(F.sum(yj), 2).alias("yj_sum"))
+
+    q["f_yeo_johnson"] = f_yeo_johnson
+
+    # ---- flagship profile numbers as an oracle query ------------------
+    def dq_profile_lineitem(spark, sf):
+        from pandas_dq_spark.plans.profile import profile
+
+        li = _t(spark, sf, "lineitem")
+        st = profile(li, with_dates=False)
+        rows = []
+        for p in st.columns.values():
+            numeric = p.kind in ("int", "float")
+            rows.append(
+                (
+                    p.name,
+                    int(p.n_missing),
+                    int(100 * p.n_distinct / st.n_rows),
+                    float(p.min_val) if numeric and p.min_val is not None else None,
+                    float(p.max_val) if numeric and p.max_val is not None else None,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "column_name string, n_missing bigint, unique_pct bigint, "
+            "min_val double, max_val double",
+        )
+
+    q["dq_profile_lineitem"] = dq_profile_lineitem
+
+    # ---- A9 mixed-type analogue ---------------------------------------
+    def a9_mixed_types(spark, sf):
+        from pandas_dq_spark.operators.mixed_types import mixed_type_report
+
+        d = _t(spark, sf, "documents")
+        return mixed_type_report(d)
+
+    q["a9_mixed_types"] = a9_mixed_types
+
     # ---- similarity search -------------------------------------------
     def s_cosine_topk(spark, sf):
         from pandas_dq_spark.operators.similarity import cosine_expr
@@ -479,8 +551,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------- oracle SQL
+_LINEITEM_COLS = [
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_linenumber", True),
+    ("l_quantity", True),
+    ("l_extendedprice", True),
+    ("l_discount", True),
+    ("l_tax", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+    ("l_shipdate", False),
+]
+
+
+def _dq_profile_sql() -> str:
+    parts = []
+    for name, numeric in _LINEITEM_COLS:
+        mn = f"CAST(min({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{name}' AS column_name, "
+            f"CAST(count(*) - count({name}) AS BIGINT) AS n_missing, "
+            f"CAST(floor(100.0 * count(DISTINCT {name}) / count(*)) AS BIGINT) AS unique_pct, "
+            f"{mn} AS min_val, {mx} AS max_val FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_PARSE_CASE = (
+    "CASE WHEN {c} IS NULL THEN NULL "
+    "WHEN regexp_matches({c}, '^[+-]?[0-9]+$') THEN 'int' "
+    "WHEN regexp_matches({c}, '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+\\.?[0-9]*[eE][+-]?[0-9]+)$') THEN 'float' "
+    "WHEN regexp_matches({c}, '^(?i)(true|false)$') THEN 'bool' "
+    "WHEN regexp_matches({c}, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}([ T][0-9]{{2}}:[0-9]{{2}}(:[0-9]{{2}}(\\.[0-9]+)?)?)?$') THEN 'date' "
+    "ELSE 'str' END"
+)
+
+
+def _mixed_types_sql() -> str:
+    parts = []
+    for c in ["text", "lang", "source"]:
+        cls = _PARSE_CASE.format(c=c)
+        parts.append(
+            f"SELECT '{c}' AS column_name, "
+            f"CAST(count(DISTINCT {cls}) AS BIGINT) AS n_classes, "
+            f"count(DISTINCT {cls}) > 1 AS is_mixed FROM documents"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "f_scalar_fixes": """
+            SELECT round(sum(least(l_extendedprice, 50000.0)), 2) AS cap_sum,
+                   round(sum(ln(1 + l_quantity)), 2) AS log1p_sum
+            FROM lineitem
+        """,
+        "f_rare_replace": """
+            WITH f AS (
+              SELECT o_orderpriority AS v,
+                     count(*) OVER (PARTITION BY o_orderpriority) * 1.0
+                       / count(*) OVER () AS freq
+              FROM orders
+            )
+            SELECT CASE WHEN freq < 0.15 THEN 'Rare' ELSE v END AS val,
+                   count(*) AS cnt
+            FROM f GROUP BY 1
+        """,
+        "f_yeo_johnson": """
+            SELECT round(sum((pow(l_quantity + 1.0, 0.5) - 1.0) / 0.5), 2) AS yj_sum
+            FROM lineitem
+        """,
+        "dq_profile_lineitem": _dq_profile_sql(),
+        "a9_mixed_types": _mixed_types_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Cluster entry point for the north-rule pipeline (BASELINE.json:
+'run via spark-submit --py-files on a multi-executor cluster').
+
+Usage (cluster):
+    zip -r pandas_dq_spark.zip pandas_dq_spark
+    spark-submit --py-files pandas_dq_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.shuffle.partitions=<2-3x total cores> \
+        scripts/submit_pipeline.py \
+        --input  <parquet-or-iceberg path of pages> \
+        --output <output dir> \
+        --buckets 4096 --resume
+
+Usage (local smoke):
+    python scripts/submit_pipeline.py \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/wt_out --buckets 16 --docs-as-pages
+
+At 10^12 documents set --buckets so that one bucket ~ a few hundred GB
+(the checkpoint/restart granularity), and let AQE size the shuffles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument("--resume", action="store_true", default=True)
+    ap.add_argument("--no-resume", dest="resume", action="store_false")
+    ap.add_argument("--buckets-per-batch", type=int, default=None)
+    ap.add_argument(
+        "--docs-as-pages",
+        action="store_true",
+        help="input is a documents-style table; synthesize the pages schema",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pandas_dq_spark.webtext.heuristics import QualityConfig
+    from pandas_dq_spark.webtext.pipeline import run_pipeline
+
+    spark = SparkSession.builder.appName("wt_quality_filter").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    df = spark.read.parquet(args.input)
+    if args.docs_as_pages:
+        df = df.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.col("text"),
+            F.col("lang"),
+        )
+
+    cfg = QualityConfig(min_words=args.min_words, n_buckets=args.buckets)
+    result = run_pipeline(
+        df,
+        args.output,
+        cfg,
+        resume=args.resume,
+        buckets_per_batch=args.buckets_per_batch,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
