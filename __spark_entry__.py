@@ -202,21 +202,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a7_value_counts"] = a7_value_counts
 
     def a10_outlier_counts(spark, sf):
+        # exact percentile funnels the whole column into one reducer;
+        # collecting the (small) column and using numpy's identical
+        # linear interpolation is the faster exact plan at any scale
+        # where exactness is affordable (parity mode, SURVEY.md §7.3)
+        import numpy as np
+
         li = _t(spark, sf, "lineitem")
-        li.createOrReplaceTempView("li_a10")
-        return spark.sql(
-            """
-            WITH b AS (
-              SELECT percentile(l_extendedprice, 0.25) AS q1,
-                     percentile(l_extendedprice, 0.75) AS q3
-              FROM li_a10
-            )
-            SELECT CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1)
-                               OR l_extendedprice > q3 + 1.5*(q3-q1)
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-                   round(min(q1), 6) AS q1, round(min(q3), 6) AS q3
-            FROM li_a10, b
-            """
+        vals = np.array(
+            [r[0] for r in li.select("l_extendedprice").collect()], dtype=float
+        )
+        q1, q3 = np.percentile(vals, [25, 75])
+        lb, ub = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        return li.agg(
+            F.sum(
+                ((F.col("l_extendedprice") < lb) | (F.col("l_extendedprice") > ub)).cast("long")
+            ).alias("n_outliers"),
+            F.round(F.lit(float(q1)), 6).alias("q1"),
+            F.round(F.lit(float(q3)), 6).alias("q3"),
         )
 
     q["a10_outlier_counts"] = a10_outlier_counts
@@ -253,12 +256,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a14_class_balance"] = a14_class_balance
 
     def a17_ks_statistic(spark, sf):
-        from pandas_dq_spark.operators.ks import ks_2samp_df
+        from pandas_dq_spark.operators.ks import ks_2samp_auto
 
         ev = _t(spark, sf, "events")
         a = ev.filter("event_type = 'click'")
         b = ev.filter("event_type = 'error'")
-        ks = ks_2samp_df(a, "value", b, "value")
+        ks = ks_2samp_auto(a, "value", b, "value")
         return spark.createDataFrame([(round(ks, 6),)], "ks double")
 
     q["a17_ks_statistic"] = a17_ks_statistic
@@ -534,6 +537,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["w_webtext_keep_stats"] = w_webtext_keep_stats
+
+    def fixdq_transform(spark, sf):
+        from pandas_dq_spark.operators.fix_dq import FixDQ
+
+        li = _t(spark, sf, "lineitem")
+        fx = FixDQ()
+        out = fx.fit(li).transform(li)
+        aggs = [F.count("*").alias("n_rows")]
+        for c in out.columns:
+            if dict(out.dtypes)[c] == "double":
+                aggs.append(F.round(F.avg(c), 4).alias(f"avg_{c}"))
+        return out.agg(*aggs)
+
+    q["fixdq_transform"] = fixdq_transform
+
+    def dc_report_events(spark, sf):
+        from pandas_dq_spark.operators.dc_report import dc_report
+
+        ev = _t(spark, sf, "events")
+        a = ev.filter("event_id % 2 = 0").drop("event_id")
+        b = ev.filter("event_id % 2 = 1").drop("event_id")
+        return dc_report(a, b, verbose=0)
+
+    q["dc_report_events"] = dc_report_events
+
+    def dq_report_orders(spark, sf):
+        from pandas_dq_spark.operators.dq_report import dq_report
+
+        return dq_report(_t(spark, sf, "orders"))
+
+    q["dq_report_orders"] = dq_report_orders
+
+    def schema_checker_events(spark, sf):
+        from pandas_dq_spark.operators.schema_checker import DataSchemaChecker
+
+        ev = _t(spark, sf, "events")
+        chk = DataSchemaChecker(
+            {
+                "event_id": "int64",
+                "ts": "date",
+                "user_id": "int64",
+                "event_type": "string",
+                "value": "float32",
+                "props": "string",
+            }
+        )
+        out = chk.fit(ev).transform(ev)
+        return spark.createDataFrame(
+            [(c, t) for c, t in out.dtypes], "column string, dtype string"
+        )
+
+    q["schema_checker_events"] = schema_checker_events
+
+    def t_fingerprints(spark, sf):
+        from pandas_dq_spark.functions.textstats import fingerprint, quality_score
+        from pandas_dq_spark.webtext.lm import EN_STOPWORDS
+
+        d = _t(spark, sf, "documents")
+        return d.agg(
+            F.count_distinct(fingerprint(F.col("text"))).alias("n_fingerprints"),
+            F.round(F.avg(quality_score(F.col("text"), EN_STOPWORDS)), 6).alias(
+                "avg_quality"
+            ),
+        )
+
+    q["t_fingerprints"] = t_fingerprints
+
+    def d_embedding_near_dups(spark, sf):
+        from pandas_dq_spark.operators.dedup import embedding_near_duplicates
+
+        e = _t(spark, sf, "embeddings")
+        pairs = embedding_near_duplicates(e, "vec_id", threshold=0.9)
+        return pairs.agg(F.count("*").alias("n_pairs"))
+
+    q["d_embedding_near_dups"] = d_embedding_near_dups
 
     def mm_media_features(spark, sf):
         from pandas_dq_spark.operators.multimodal import extract_features, media_fixture

@@ -55,6 +55,44 @@ def ks_2samp_df(df1: DataFrame, col1: str, df2: DataFrame, col2: str) -> float:
     return float(out)
 
 
+def ks_2samp_auto(
+    df1: DataFrame, col1: str, df2: DataFrame, col2: str,
+    max_distinct_for_driver: int = 5_000_000,
+) -> float:
+    """Exact KS with an adaptive physical strategy: group the union by
+    value (map-side partial agg, one small shuffle), and if the
+    distinct-value histogram is small enough, finish the cumulative
+    max on the driver — avoiding the global-window single-task sort
+    that ``ks_2samp_df`` pays.  Falls back to the fully distributed
+    window plan above the threshold."""
+    a = (
+        df1.select(F.col(col1).cast("double").alias("v"))
+        .where(F.col("v").isNotNull() & ~F.isnan("v"))
+        .withColumn("tag", F.lit(1))
+    )
+    b = (
+        df2.select(F.col(col2).cast("double").alias("v"))
+        .where(F.col("v").isNotNull() & ~F.isnan("v"))
+        .withColumn("tag", F.lit(0))
+    )
+    per_val = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("tag").alias("c1"), F.sum(1 - F.col("tag")).alias("c2"))
+    )
+    n_distinct = per_val.count()
+    if n_distinct > max_distinct_for_driver:
+        return ks_2samp_df(df1, col1, df2, col2)
+    import numpy as np
+
+    pdf = per_val.toPandas().sort_values("v")
+    n1, n2 = pdf["c1"].sum(), pdf["c2"].sum()
+    if n1 == 0 or n2 == 0:
+        return float("nan")
+    gaps = np.abs(pdf["c1"].cumsum() / n1 - pdf["c2"].cumsum() / n2)
+    return float(gaps.max())
+
+
 def ks_2samp_arrays(x, y) -> float:
     """Driver-side exact KS for small collected samples (used by
     dc_report where the qualifying columns have <10 distinct values —

@@ -1,0 +1,100 @@
+"""Property-based invariants (SURVEY.md §5.2 strategy 4), seeded via
+hypothesis over small pandas frames executed on Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pandas_dq_spark.plans.profile import profile
+from pandas_dq_spark.webtext.scrub import scrub_py
+
+# hypothesis drives the pure-python sides (fast); Spark-side checks use
+# fixed seeds (a Spark job per hypothesis example would be minutes)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_scrub_is_idempotent(text):
+    once = scrub_py(text)
+    assert scrub_py(once) == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef @.-0123456789", max_size=30), max_size=20))
+def test_scrub_never_grows_pii(tokens):
+    import re
+
+    text = " ".join(tokens)
+    out = scrub_py(text)
+    assert not re.search(r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", out)
+
+
+def test_profile_invariants(spark):
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.normal(size=500),
+            "b": rng.integers(0, 10, 500),
+            "c": rng.choice(["x", "y", None], 500),
+        }
+    )
+    st_ = profile(spark.createDataFrame(pdf))
+    for p in st_.columns.values():
+        assert 0 <= p.missing_pct <= 100
+        assert 0 <= p.n_distinct <= st_.n_rows
+        if p.kind in ("float", "int") and p.n_missing < st_.n_rows:
+            assert p.min_val <= p.max_val
+
+
+def test_cap_is_idempotent(spark):
+    from pandas_dq_spark.operators.fix_dq import FixDQ
+
+    # uniform data: |skew| < 1 so no log1p/yeo-johnson transformer is
+    # fitted (those legitimately re-apply per transform, like the
+    # reference); what remains (impute/cap/inf/rare) is idempotent
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({"i": range(400), "v": rng.uniform(0.0, 100.0, 400)})
+    sdf = spark.createDataFrame(pdf)
+    fx = FixDQ()
+    once = fx.fit(sdf).transform(sdf)
+    assert not fx.state.col_transformers_
+    twice = fx.transform(once)
+    # the second transform's dedup collapses rows whose capped values
+    # collided (reference-faithful), so compare the value SETS
+    a = np.sort(once.select("v").distinct().toPandas()["v"].to_numpy())
+    b = np.sort(twice.select("v").distinct().toPandas()["v"].to_numpy())
+    assert np.allclose(a, b)
+
+
+def test_impute_removes_all_nulls(spark):
+    from pandas_dq_spark.operators.fix_dq import FixDQ
+
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame(
+        {
+            "i": range(300),
+            "v": rng.normal(size=300),
+            "c": rng.choice(["p", "q"], 300),
+        }
+    )
+    pdf.loc[:59, "v"] = np.nan
+    pdf.loc[:29, "c"] = None
+    sdf = spark.createDataFrame(pdf)
+    out = FixDQ().fit(sdf).transform(sdf)
+    assert out.filter(F.col("v").isNull() | F.isnan("v")).count() == 0
+    assert out.filter(F.col("c").isNull()).count() == 0
+
+
+def test_dedup_output_has_no_duplicate_keys(spark):
+    from pandas_dq_spark.operators.dedup import dedup_exact
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "text": [f"t{i % 30}" for i in range(100)]}
+    )
+    out = dedup_exact(spark.createDataFrame(pdf), "doc_id")
+    assert out.count() == 30
+    assert out.groupBy("text").count().filter("count > 1").count() == 0
