@@ -12,7 +12,12 @@ from .operators.dq_report import DQReport, build_dq_report, dq_report
 from .operators.fix_dq import FixDQ, FixDQState
 from .operators.ks import ks_2samp_arrays, ks_2samp_df
 from .operators.schema_checker import DataSchemaChecker
-from .operators.setops import compare_unique, left_subtract
+from .operators.mixed_types import mixed_type_report
+from .operators.setops import (
+    compare_unique,
+    find_remove_columns_with_infinity,
+    left_subtract,
+)
 from .plans.profile import (
     ProfileState,
     correlation_matrix,
@@ -22,11 +27,34 @@ from .plans.profile import (
 )
 from .session import get_spark
 
-# reference compatibility alias (class name in pandas_dq is Fix_DQ)
+# reference compatibility aliases (pandas_dq names)
 Fix_DQ = FixDQ
+EDA_find_remove_columns_with_infinity = find_remove_columns_with_infinity
+
+
+def write_to_html(report, filename: str = "dq_report.html") -> str:
+    """S7 html sink (pandas_dq.py:547-590): render a DQReport or any
+    small Spark DataFrame to an HTML file (no browser open)."""
+    from .operators.dq_report import DQReport
+
+    if isinstance(report, DQReport):
+        return report.to_html(filename)
+    rows = report.limit(10_000).collect()
+    hdr = "".join(f"<th>{c}</th>" for c in report.columns)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{v}</td>" for v in r) + "</tr>" for r in rows
+    )
+    html = f"<html><body><table border='1'><tr>{hdr}</tr>{body}</table></body></html>"
+    with open(filename, "w") as f:
+        f.write(html)
+    return filename
 
 __all__ = [
     "DQReport",
+    "EDA_find_remove_columns_with_infinity",
+    "find_remove_columns_with_infinity",
+    "mixed_type_report",
+    "write_to_html",
     "DataSchemaChecker",
     "FixDQ",
     "Fix_DQ",

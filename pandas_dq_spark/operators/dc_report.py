@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .dq_report import DQReport, build_dq_report
-from .ks import ks_2samp_df
+from .ks import ks_2samp_auto
 
 SHORT_SCHEMA = (
     "column_name string, dq_issue_train string, dq_issue_test string, "
@@ -74,7 +74,7 @@ def build_dc_report(
         s = ""
         if numeric and count_unique_train < 10 and count_unique_test < 10:
             if missing_train < 100 and missing_test < 100:
-                ks = ks_2samp_df(train, col, test, col)
+                ks = ks_2samp_auto(train, col, test, col)
                 if ks > 0:
                     s += f"The distributions of {col} are different with a KS test statistic of {ks:.3f}. "
         if missing_train != missing_test:

@@ -32,3 +32,36 @@ def compare_unique(df1: DataFrame, df2: DataFrame, column: str) -> dict:
 def left_subtract(l1: list, l2: list) -> list:
     """List difference on names (pandas_dq.py:604-609) — driver-side."""
     return [i for i in l1 if i not in l2]
+
+
+def find_remove_columns_with_infinity(
+    df: DataFrame, remove: bool = False, verbose: int = 0
+):
+    """``EDA_find_remove_columns_with_infinity`` equivalent
+    (pandas_dq.py:1638-1662): list float columns containing +-inf;
+    optionally return the DataFrame without them.  One fused agg."""
+    from ..plans.profile import col_kind
+
+    float_cols = [
+        f.name for f in df.schema.fields if col_kind(f.dataType) == "float"
+    ]
+    if not float_cols:
+        return df if remove else []
+    row = (
+        df.agg(
+            *[
+                F.sum(
+                    F.col(c).isin(float("inf"), float("-inf")).cast("long")
+                ).alias(c)
+                for c in float_cols
+            ]
+        )
+        .collect()[0]
+        .asDict()
+    )
+    inf_cols = [c for c in float_cols if (row[c] or 0) > 0]
+    if verbose:
+        print(f"    there are {len(inf_cols)} columns with infinite values in your data")
+    if remove:
+        return df.drop(*inf_cols)
+    return inf_cols

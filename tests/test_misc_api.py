@@ -1,0 +1,60 @@
+"""Small API-surface tests: html sink, infinity helper, feather scan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import pandas_dq_spark as pdq
+
+
+def test_write_to_html(spark, tmp_path):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    rep = pdq.build_dq_report(spark.createDataFrame(pdf))
+    path = rep.to_html(str(tmp_path / "rep.html"))
+    content = open(path).read()
+    assert "<table" in content and "DQ Issue" in content
+    # generic DataFrame variant
+    p2 = pdq.write_to_html(
+        spark.createDataFrame(pdf), str(tmp_path / "df.html")
+    )
+    assert "<td>x</td>" in open(p2).read()
+
+
+def test_find_remove_columns_with_infinity(spark):
+    pdf = pd.DataFrame(
+        {
+            "ok": [1.0, 2.0, 3.0],
+            "has_inf": [1.0, np.inf, 2.0],
+            "neg_inf": [-np.inf, 0.0, 1.0],
+            "s": ["a", "b", "c"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    cols = pdq.find_remove_columns_with_infinity(sdf)
+    assert set(cols) == {"has_inf", "neg_inf"}
+    out = pdq.find_remove_columns_with_infinity(sdf, remove=True)
+    assert set(out.columns) == {"ok", "s"}
+    # reference-name alias
+    assert pdq.EDA_find_remove_columns_with_infinity(sdf) == cols
+
+
+def test_feather_scan(spark, tmp_path):
+    import pyarrow.feather as feather
+
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = str(tmp_path / "t.feather")
+    feather.write_feather(pdf, p)
+    from pandas_dq_spark.sources.io import read_any
+
+    out = read_any(spark, p)
+    assert out.count() == 3 and out.columns == ["a", "b"]
+
+
+def test_csv_scan(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_csv(p, index=False)
+    from pandas_dq_spark.sources.io import read_any
+
+    out = read_any(spark, p)
+    assert out.count() == 2 and out.columns == ["a", "b"]
