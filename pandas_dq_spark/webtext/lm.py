@@ -143,6 +143,19 @@ _CTX_TOTALS: dict[str, int] = {}
 for (_a, _b), _c in BIGRAMS.items():
     _CTX_TOTALS[_a] = _CTX_TOTALS.get(_a, 0) + _c
 
+# Precomputed log-probabilities: seen bigram -> log p; per-context
+# fallback -> log(1/(ctx_total+V)); global fallback log(1/V).
+# math.log is deterministic, so scoring through these tables is
+# bit-identical to computing the logs inline per token — just faster.
+LOG_BIGRAM: dict[tuple[str, str], float] = {
+    (a, b): math.log((c + 1.0) / (_CTX_TOTALS[a] + _V))
+    for (a, b), c in BIGRAMS.items()
+}
+LOG_UNSEEN_CTX: dict[str, float] = {
+    a: math.log(1.0 / (t + _V)) for a, t in _CTX_TOTALS.items()
+}
+LOG_UNSEEN = math.log(1.0 / _V)
+
 
 def perplexity(tokens: list[str]) -> float:
     """Bigram perplexity with Laplace smoothing; empty -> +inf."""
@@ -150,10 +163,11 @@ def perplexity(tokens: list[str]) -> float:
         return float("inf")
     logp = 0.0
     prev = "<s>"
+    lb, lu = LOG_BIGRAM, LOG_UNSEEN_CTX
     for w in tokens:
-        c_big = BIGRAMS.get((prev, w), 0)
-        c_ctx = _CTX_TOTALS.get(prev, 0)
-        p = (c_big + 1.0) / (c_ctx + _V)
-        logp += math.log(p)
+        v = lb.get((prev, w))
+        if v is None:
+            v = lu.get(prev, LOG_UNSEEN)
+        logp += v
         prev = w
     return math.exp(-logp / len(tokens))
