@@ -10,7 +10,7 @@ from .operators.classify import classify_columns
 from .operators.dc_report import build_dc_report, dc_report
 from .operators.dq_report import DQReport, build_dq_report, dq_report
 from .operators.fix_dq import FixDQ, FixDQState
-from .operators.ks import ks_2samp_arrays, ks_2samp_df
+from .operators.ks import ks_2samp_arrays, ks_2samp_auto, ks_2samp_df
 from .operators.schema_checker import DataSchemaChecker
 from .operators.mixed_types import mixed_type_report
 from .operators.setops import (
@@ -70,6 +70,7 @@ __all__ = [
     "duplicate_row_count",
     "get_spark",
     "ks_2samp_arrays",
+    "ks_2samp_auto",
     "ks_2samp_df",
     "left_subtract",
     "profile",

@@ -1,0 +1,65 @@
+"""Structured Streaming adapters (streaming/__init__.py): the same
+stage builders running on a streaming DataFrame."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pandas_dq_spark.streaming import (
+    quality_filter_foreach_batch,
+    streaming_quality_filter,
+)
+from pandas_dq_spark.webtext.fixtures import PAGES_SCHEMA, pages_pdf
+from pandas_dq_spark.webtext.heuristics import QualityConfig
+
+
+def _write_pages(spark, tmp_path, n=300):
+    pdf = pages_pdf(n)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf, schema=PAGES_SCHEMA).coalesce(2).write.parquet(src)
+    return src, pdf
+
+
+def test_streaming_quality_filter(spark, tmp_path):
+    src, pdf = _write_pages(spark, tmp_path)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    cfg = QualityConfig(min_words=20)
+    out = streaming_quality_filter(stream, cfg)
+    q = (
+        out.select("url", "keep", "lang_pred", "scrubbed_text")
+        .writeStream.format("memory")
+        .queryName("wt_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wt_stream").collect()
+    # watermark dedup keeps one row per distinct text
+    assert len(rows) == pdf["text"].nunique()
+    assert any(not r["keep"] for r in rows)
+    assert any(r["keep"] for r in rows)
+
+
+def test_foreach_batch_adapter(spark, tmp_path):
+    src, pdf = _write_pages(spark, tmp_path, n=200)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    fn = quality_filter_foreach_batch(QualityConfig(min_words=20))
+    sink = str(tmp_path / "out")
+
+    def write_batch(batch_df, batch_id):
+        fn(batch_df, batch_id).select(
+            "url", "keep", "dq_issue", "bucket"
+        ).write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 200
+    assert got.filter("keep").count() > 0
