@@ -392,6 +392,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w_quality_rule_counts"] = w_quality_rule_counts
 
+    def w_running_revenue(spark, sf):
+        # window running aggregate + final frame row per customer
+        _t(spark, sf, "orders").createOrReplaceTempView("orders_wr")
+        return spark.sql(
+            """
+            WITH r AS (
+              SELECT o_custkey,
+                     sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS running,
+                     row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+                     ) AS rn
+              FROM orders_wr
+            )
+            SELECT o_custkey, round(running, 2) AS total_running
+            FROM r WHERE rn = 1
+            """
+        )
+
+    q["w_running_revenue"] = w_running_revenue
+
+    def q_rollup_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    q["q_rollup_summary"] = q_rollup_summary
+
     # ---- Fix_DQ scalar fixes (F1/F5/F6/F8) ----------------------------
     def f_scalar_fixes(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -682,6 +717,26 @@ def _mixed_types_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "w_running_revenue": """
+            WITH r AS (
+              SELECT o_custkey,
+                     sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS running,
+                     row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+                     ) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, round(running, 2) AS total_running
+            FROM r WHERE rn = 1
+        """,
+        "q_rollup_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "f_scalar_fixes": """
             SELECT round(sum(least(l_extendedprice, 50000.0)), 2) AS cap_sum,
                    round(sum(ln(1 + l_quantity)), 2) AS log1p_sum

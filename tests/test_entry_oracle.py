@@ -52,7 +52,8 @@ def _norm(v):
 
 def _rows_to_set(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    # repr-keyed sort: total order even with NULLs / mixed types
+    return sorted((tuple(_norm(r[i]) for i in idx) for r in rows), key=repr)
 
 
 ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
