@@ -202,17 +202,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a7_value_counts"] = a7_value_counts
 
     def a10_outlier_counts(spark, sf):
-        # exact percentile funnels the whole column into one reducer;
-        # collecting the (small) column and using numpy's identical
-        # linear interpolation is the faster exact plan at any scale
-        # where exactness is affordable (parity mode, SURVEY.md §7.3)
-        import numpy as np
+        # the engine's fused exact-percentile path (plans/profile.
+        # quantiles): ONE tiny percentile row to the driver, then one
+        # conditional agg with literal bounds — never a full-column
+        # collect (driver-OOM-proof at any scale)
+        from pandas_dq_spark.plans.profile import quantiles
 
         li = _t(spark, sf, "lineitem")
-        vals = np.array(
-            [r[0] for r in li.select("l_extendedprice").collect()], dtype=float
-        )
-        q1, q3 = np.percentile(vals, [25, 75])
+        qs = quantiles(li, ["l_extendedprice"], [0.25, 0.75])["l_extendedprice"]
+        q1, q3 = qs[0], qs[1]
         lb, ub = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
         return li.agg(
             F.sum(
@@ -223,6 +221,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["a10_outlier_counts"] = a10_outlier_counts
+
+    def a10_outlier_nan(spark, sf):
+        # NaN-guarded outlier fences (ADVICE r01): NaNs are injected
+        # deterministically so the guard is exercised regardless of the
+        # fixture data; reference semantics = NaN is never an outlier
+        from pandas_dq_spark.operators.dq_report import outlier_predicate
+        from pandas_dq_spark.plans.profile import quantiles
+
+        ev = _t(spark, sf, "events")
+        d = ev.select(
+            F.when(F.col("event_id") % 50 == 0, F.lit(float("nan")))
+            .otherwise(F.col("value"))
+            .alias("v")
+        )
+        qs = quantiles(d, ["v"], [0.25, 0.75])["v"]
+        q1, q3 = qs[0], qs[1]
+        lb, ub = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        return d.agg(
+            F.sum(outlier_predicate(F.col("v"), lb, ub, "float").cast("long")).alias(
+                "n_outliers"
+            ),
+            F.sum(F.isnan("v").cast("long")).alias("n_nan"),
+            F.round(F.lit(float(q1)), 6).alias("q1"),
+            F.round(F.lit(float(q3)), 6).alias("q3"),
+        )
+
+    q["a10_outlier_nan"] = a10_outlier_nan
 
     def a12_correlation(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -836,6 +861,21 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                    round(min(q1), 6) AS q1, round(min(q3), 6) AS q3
             FROM lineitem, b
+        """,
+        "a10_outlier_nan": """
+            WITH d AS (
+              SELECT CASE WHEN event_id % 50 = 0 THEN 'NaN'::DOUBLE ELSE value END AS v
+              FROM events
+            ), b AS (
+              SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+              FROM d WHERE NOT isnan(v)
+            )
+            SELECT CAST(sum(CASE WHEN NOT isnan(v)
+                               AND (v < q1 - 1.5*(q3-q1) OR v > q3 + 1.5*(q3-q1))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   CAST(sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+                   round(min(q1), 6) AS q1, round(min(q3), 6) AS q3
+            FROM d, b
         """,
         "a12_correlation": """
             SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

@@ -138,6 +138,37 @@ class DQReport:
         return path
 
 
+def outlier_predicate(c: F.Column, lb: float, ub: float, kind: str) -> F.Column:
+    """A10/P3 fence predicate ``(c < lb) | (c > ub)`` with the pandas
+    NaN semantics: in numpy/pandas ``NaN > ub`` is False, but Spark
+    orders NaN greater than every value, so an unguarded predicate
+    counts every NaN as an outlier (pandas_dq.py:392 vs Spark
+    ordering).  Nulls are already neutral (NULL comparisons -> NULL,
+    skipped by sum); NaN needs the explicit guard on float kinds."""
+    pred = (c < F.lit(lb)) | (c > F.lit(ub))
+    if kind == "float":
+        pred = ~F.isnan(c) & pred
+    return pred
+
+
+def iqr_outlier_counts(
+    df: DataFrame,
+    bounds: dict[str, tuple[float, float]],
+    kinds: dict[str, str],
+) -> dict[str, int]:
+    """One conditional agg over all bounded columns — single scan."""
+    if not bounds:
+        return {}
+    aggs = [
+        F.sum(
+            outlier_predicate(F.col(c), lb, ub, kinds.get(c, "")).cast("long")
+        ).alias(c)
+        for c, (lb, ub) in bounds.items()
+    ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {c: int(row[c] or 0) for c in bounds}
+
+
 def build_dq_report(
     df: DataFrame,
     target: str | list[str] | None = None,
@@ -225,16 +256,8 @@ def build_dq_report(
             continue
         iqr = q3 - q1
         bounds[c] = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
-    outlier_counts: dict[str, int] = {}
-    if bounds:
-        aggs = [
-            F.sum(
-                ((F.col(c) < lb) | (F.col(c) > ub)).cast("long")
-            ).alias(c)
-            for c, (lb, ub) in bounds.items()
-        ]
-        row = df.agg(*aggs).collect()[0].asDict()
-        outlier_counts = {c: int(row[c] or 0) for c in bounds}
+    kind_of = {f.name: col_kind(f.dataType) for f in df.schema.fields}
+    outlier_counts = iqr_outlier_counts(df, bounds, kind_of)
 
     # ---- stage 4: rare categories per cat col (pandas_dq.py:317-336) ----
     rare_by_col: dict[str, list] = {}
@@ -387,7 +410,13 @@ def build_dq_report(
         missing_pct[c] = 100.0 * cp.n_missing / n if n else 0.0
         unique_pct[c] = "NA" if c in float_cols else int(100 * cp.n_distinct / n) if n else 0
         is_numericish = cp.kind in ("float", "int", "bool")
-        if c not in missing_cols and is_numericish:
+        # non-missing numeric-dtype cols get min/max; missing cols get
+        # them too IF classified into number_cols — the reference's
+        # elif branch (pandas_dq.py:213-226: `if col not in missing_
+        # cols: ... elif col in number_cols: ...`), NaN-skipping aggs
+        if (c not in missing_cols and is_numericish) or (
+            c in missing_cols and c in num_cols
+        ):
             minv[c] = _fmt_val(cp.min_val, cp.kind)
             maxv[c] = _fmt_val(cp.max_val, cp.kind)
         else:

@@ -166,8 +166,12 @@ def profile(
         else:
             aggs.append(F.approx_count_distinct(dc, 0.01).alias(f"dist::{name}"))
         if kind in ("float", "int", "date"):
-            aggs.append(F.min(c).alias(f"min::{name}"))
-            aggs.append(F.max(c).alias(f"max::{name}"))
+            # pandas min/max skip NaN; Spark orders NaN greater than
+            # any value, so float max would return NaN (SURVEY.md §4.3
+            # trap 5) — exclude NaN explicitly for float kinds
+            mc = F.when(null_or_nan(c, kind), None).otherwise(c) if kind == "float" else c
+            aggs.append(F.min(mc).alias(f"min::{name}"))
+            aggs.append(F.max(mc).alias(f"max::{name}"))
         if kind in ("float", "int"):
             cd = c.cast("double")
             base = F.when(null_or_nan(c, kind), None).otherwise(cd)

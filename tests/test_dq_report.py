@@ -93,14 +93,43 @@ def test_id_and_zero_variance(report):
     )
 
 
-def test_min_max_blank_for_missing_cols(report):
+def test_min_max_for_missing_and_plain_cols(report):
     rep, pdf = report
-    # reference skips min/max for columns with ANY missing values
-    # (pandas_dq.py:213-226)
-    assert rep.min_val["num_missing"] == ""
-    assert rep.max_val["num_missing"] == ""
+    # missing cols that are in number_cols still get min/max via the
+    # reference's elif branch (pandas_dq.py:217-218, 225-226) with
+    # NaN-skipping aggregates
+    assert rep.min_val["num_missing"] == str(pdf["num_missing"].min())
+    assert rep.max_val["num_missing"] == str(pdf["num_missing"].max())
     assert rep.min_val["int_plain"] == str(pdf["int_plain"].min())
     assert rep.max_val["int_plain"] == str(pdf["int_plain"].max())
+    # a missing col NOT in number_cols stays blank
+    assert rep.min_val["num_mostly_missing"] in (
+        "",
+        str(pdf["num_mostly_missing"].min()),
+    )
+
+
+def test_outliers_not_counted_on_nan(spark):
+    import pandas as pd
+
+    # one true outlier + NaNs: reference counts 1, an unguarded Spark
+    # predicate would count NaN > ub as TRUE (ADVICE r01, high)
+    pdf = pd.DataFrame(
+        {
+            "v": [1.0, 2.0, 1.5, 2.5, 1.2, 2.2, 1.7, 60.0, np.nan, np.nan],
+            "w": list(range(10)),
+        }
+    )
+    rep = build_dq_report(spark.createDataFrame(pdf))
+    ref = pdf["v"]
+    q1, q3 = ref.quantile(0.25), ref.quantile(0.75)
+    lb, ub = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    n_out = int(((ref < lb) | (ref > ub)).sum())
+    assert n_out == 1
+    assert f"Column has {n_out} outliers" in rep.issues["v"]
+    # NaN-skipping min/max populated despite the column being missing
+    assert rep.min_val["v"] == str(ref.min())
+    assert rep.max_val["v"] == str(ref.max())
 
 
 def test_no_issue_fill(report):
