@@ -404,21 +404,47 @@ def build_dq_report(
 
     # ---- final per-column frame (pandas_dq.py:149-231, 506-517) ----
     data_type, missing_pct, unique_pct, minv, maxv, issues = {}, {}, {}, {}, {}, {}
+    # min/max eligibility: non-missing numeric-dtype cols, plus missing
+    # cols that classified into number_cols — the reference's elif
+    # branch (pandas_dq.py:213-226: `if col not in missing_cols: ...
+    # elif col in number_cols: ...`), NaN-skipping aggregates.
+    minmax_eligible: list[str] = []
+    for c in cols:
+        cp = state.columns[c]
+        is_numericish = cp.kind in ("float", "int", "bool")
+        if (c not in missing_cols and is_numericish) or (
+            c in missing_cols and c in num_cols
+        ):
+            minmax_eligible.append(c)
+    # pandas dtype-promotion quirk: the reference builds the min/max
+    # frames by .loc enlargement over ONLY the eligible columns, then
+    # `data_types.join(minimum_values)` reindexes over ALL columns
+    # (pandas_dq.py:206-232).  Any ineligible column therefore injects
+    # NaN and upcasts the whole column to float64 — as does any float
+    # value — so every int/bool cell renders as "499.0"/"1.0".  With
+    # no NaN and no float the ints stay int64 (bools coerce to 0/1
+    # when mixed with ints, stay True/False when alone).  Verified
+    # against the actual reference via tests/reference_shim.py.
+    minmax_as_float = len(minmax_eligible) < len(cols) or any(
+        state.columns[c].kind == "float" for c in minmax_eligible
+    )
+    minmax_kinds = {state.columns[c].kind for c in minmax_eligible}
     for c in cols:
         cp = state.columns[c]
         data_type[c] = pandas_dtype_name(df.schema[c].dataType)
         missing_pct[c] = 100.0 * cp.n_missing / n if n else 0.0
         unique_pct[c] = "NA" if c in float_cols else int(100 * cp.n_distinct / n) if n else 0
-        is_numericish = cp.kind in ("float", "int", "bool")
-        # non-missing numeric-dtype cols get min/max; missing cols get
-        # them too IF classified into number_cols — the reference's
-        # elif branch (pandas_dq.py:213-226: `if col not in missing_
-        # cols: ... elif col in number_cols: ...`), NaN-skipping aggs
-        if (c not in missing_cols and is_numericish) or (
-            c in missing_cols and c in num_cols
-        ):
-            minv[c] = _fmt_val(cp.min_val, cp.kind)
-            maxv[c] = _fmt_val(cp.max_val, cp.kind)
+        if c in minmax_eligible:
+            if minmax_as_float:
+                minv[c] = "" if cp.min_val is None else str(float(cp.min_val))
+                maxv[c] = "" if cp.max_val is None else str(float(cp.max_val))
+            elif minmax_kinds == {"bool"}:
+                minv[c] = _fmt_val(cp.min_val, "bool")
+                maxv[c] = _fmt_val(cp.max_val, "bool")
+            else:
+                # int64 frame: bools coerced to 0/1 alongside ints
+                minv[c] = "" if cp.min_val is None else str(int(cp.min_val))
+                maxv[c] = "" if cp.max_val is None else str(int(cp.max_val))
         else:
             minv[c] = ""
             maxv[c] = ""

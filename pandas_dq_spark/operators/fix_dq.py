@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.skew import fit_yeo_johnson_lambda, yeo_johnson_col, yeo_johnson_transform_np
@@ -57,6 +57,7 @@ class FixDQ:
         rare_threshold: float = 0.01,
         correlation_threshold: float = 0.9,
         yj_sample_cap: int = 200_000,
+        rare_isin_cap: int = 10_000,
     ):
         self.quantile = quantile
         self.cat_fill_value = cat_fill_value
@@ -64,7 +65,17 @@ class FixDQ:
         self.rare_threshold = rare_threshold
         self.correlation_threshold = correlation_threshold
         self.yj_sample_cap = yj_sample_cap
+        # rare sets up to this size are applied as an isin literal;
+        # larger sets (high-cardinality columns, where almost every
+        # value is rare) switch to a fully-distributed window plan so
+        # the driver never materializes them
+        self.rare_isin_cap = rare_isin_cap
         self.state: FixDQState | None = None
+
+    def _string_fill(self, c: str) -> str:
+        if isinstance(self.cat_fill_value, dict):
+            return self.cat_fill_value.get(c, "missing")
+        return self.cat_fill_value
 
     # -- fit ---------------------------------------------------------
     def fit(self, X: DataFrame, y=None) -> "FixDQ":
@@ -195,17 +206,63 @@ class FixDQ:
                 if (row[c] or 0) > 0:
                     st.missing_cols_.append(c)
 
-        # 4. rare categories recomputed on THIS data (pandas_dq.py:767-769)
+        # 4. rare categories recomputed on THIS data (pandas_dq.py:
+        #    767-769), on the IMPUTED values: the reference imputes
+        #    first (pandas_dq.py:1039) and only then groups rares
+        #    (pandas_dq.py:1052), so the fill value participates in
+        #    value_counts and the denominator is every (deduped) row.
+        #    Computed distributed: ONE long-form groupBy over all
+        #    string columns (posexplode -> (col_idx, value) counts,
+        #    map-side combined); the driver sees only per-column
+        #    totals, rare-set sizes, and rare sets small enough for an
+        #    isin literal.  Oversized rare sets are applied via a
+        #    window CASE instead (no driver materialization).
+        str_cols = [c for c in X.columns if kinds.get(c) == "string"]
+        imputed_str: dict[str, Column] = {}
+        for c in str_cols:
+            if c in st.missing_cols_:
+                imputed_str[c] = F.coalesce(F.col(c), F.lit(self._string_fill(c)))
+            else:
+                imputed_str[c] = F.col(c)
         rare_by_col: dict[str, list] = {}
-        for c in X.columns:
-            if kinds.get(c) != "string":
-                continue
-            d = X.filter(F.col(c).isNotNull()).groupBy(c).count()
-            rows = d.collect()
-            total = sum(r["count"] for r in rows) or 1
-            rare = [r[c] for r in rows if r["count"] / total < self.rare_threshold]
-            if rare:
-                rare_by_col[c] = rare
+        rare_window_cols: dict[str, int] = {}  # col -> non-null total
+        if str_cols:
+            vc = (
+                X.select(
+                    F.posexplode(
+                        F.array(*[imputed_str[c] for c in str_cols])
+                    ).alias("ci", "val")
+                )
+                .filter(F.col("val").isNotNull())
+                .groupBy("ci", "val")
+                .count()
+                .persist()
+            )
+            try:
+                totals = {
+                    r["ci"]: r["tot"]
+                    for r in vc.groupBy("ci").agg(F.sum("count").alias("tot")).collect()
+                }
+                thr_expr = F.lit(self.rare_threshold)
+                tot_expr = F.element_at(
+                    F.array(*[F.lit(totals.get(i, 1)) for i in range(len(str_cols))]),
+                    F.col("ci") + 1,
+                )
+                rare_vc = vc.filter(F.col("count") / tot_expr < thr_expr).persist()
+                sizes = {
+                    r["ci"]: r["cnt"]
+                    for r in rare_vc.groupBy("ci").agg(F.count("*").alias("cnt")).collect()
+                }
+                small = [i for i, cnt in sizes.items() if cnt <= self.rare_isin_cap]
+                if small:
+                    for r in rare_vc.filter(F.col("ci").isin(small)).collect():
+                        rare_by_col.setdefault(str_cols[r["ci"]], []).append(r["val"])
+                for i, cnt in sizes.items():
+                    if cnt > self.rare_isin_cap:
+                        rare_window_cols[str_cols[i]] = totals.get(i, 1)
+                rare_vc.unpersist()
+            finally:
+                vc.unpersist()
 
         # 5. ONE select expressing impute -> cap -> inf-replace -> rare
         #    -> skew, in the reference's fixed order (pandas_dq.py:1025-1058)
@@ -241,6 +298,15 @@ class FixDQ:
             if kind == "string" and c in rare_by_col:
                 col = F.when(
                     col.isin(*rare_by_col[c]), F.lit("Rare")
+                ).otherwise(col)
+            elif kind == "string" and c in rare_window_cols:
+                # huge rare set: distributed window CASE, frequency of
+                # the imputed value vs its non-null total
+                freq = F.count("*").over(
+                    Window.partitionBy(imputed_str[c])
+                ) / F.lit(float(rare_window_cols[c]))
+                col = F.when(
+                    col.isNotNull() & (freq < self.rare_threshold), F.lit("Rare")
                 ).otherwise(col)
             if kind == "float" and c in st.col_transformers_:
                 name, params = st.col_transformers_[c]

@@ -165,7 +165,7 @@ def profile(
             aggs.append(F.count_distinct(dc).alias(f"dist::{name}"))
         else:
             aggs.append(F.approx_count_distinct(dc, 0.01).alias(f"dist::{name}"))
-        if kind in ("float", "int", "date"):
+        if kind in ("float", "int", "date", "bool"):
             # pandas min/max skip NaN; Spark orders NaN greater than
             # any value, so float max would return NaN (SURVEY.md §4.3
             # trap 5) — exclude NaN explicitly for float kinds
@@ -318,12 +318,17 @@ def value_counts(
     """A7/A14: per-value frequencies.  pandas ``value_counts(
     normalize=True)`` excludes NaN from the denominator (verified;
     SURVEY.md §4.3 trap 4)."""
-    d = df.select(col)
+    # pandas tie-break: values with EQUAL counts keep first-appearance
+    # order (hashtable insertion).  Reproduce with min(monotonic id) —
+    # monotone in scan order for parquet / createDataFrame inputs.
+    d = df.select(F.col(col), F.monotonically_increasing_id().alias("__pos"))
     if drop_null:
         d = d.filter(F.col(col).isNotNull())
     total = None
-    counts = d.groupBy(col).count()
-    rows = counts.orderBy(F.col("count").desc(), F.col(col)).collect()
+    counts = d.groupBy(col).agg(
+        F.count(F.lit(1)).alias("count"), F.min("__pos").alias("__first")
+    )
+    rows = counts.orderBy(F.col("count").desc(), F.col("__first")).collect()
     if normalize:
         total = sum(r["count"] for r in rows) or 1
         return [(r[col], r["count"] / total) for r in rows]
