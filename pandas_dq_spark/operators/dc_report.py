@@ -1,12 +1,13 @@
 """Distributed ``dc_report`` train/test drift comparison
 (reference: pandas_dq.py:1199-1362).
 
-Two fused profile passes (one per side) + one KS job per qualifying
-column.  Qualification reproduces the reference gate (1308): both
-sides numeric AND ``count_unique < 10`` where count_unique is derived
-from the int-truncated Unique Values% — note the quirk that float
-columns report 'NA' which maps to 0, so EVERY float column passes the
-gate and gets a KS test, exactly like the reference.
+Two fused profile passes (one per side) + ONE fused KS job covering
+every qualifying column (ks_2samp_many).  Qualification reproduces the
+reference gate (1308): both sides numeric AND ``count_unique < 10``
+where count_unique is derived from the int-truncated Unique Values% —
+note the quirk that float columns report 'NA' which maps to 0, so
+EVERY float column passes the gate and gets a KS test, exactly like
+the reference.
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .dq_report import DQReport, build_dq_report
-from .ks import ks_2samp_auto
+from .ks import ks_2samp_many
 
 SHORT_SCHEMA = (
     "column_name string, dq_issue_train string, dq_issue_test string, "
@@ -54,11 +55,10 @@ def build_dc_report(
     rep_tr = build_dq_report(train)
     rep_te = build_dq_report(test)
 
-    dist_diff: dict[str, str | None] = {}
-    for col in train.columns:
-        kt = rep_tr  # alias for brevity
-        missing_train = rep_tr.missing_pct[col]
-        missing_test = rep_te.missing_pct[col]
+    # gather every column that passes the KS gate, then compute ALL
+    # the KS statistics in ONE job (ks_2samp_many) instead of one
+    # union+groupBy+window job per column
+    def _qualifies(col: str) -> bool:
         unique_train = rep_tr.unique_pct[col]
         unique_test = rep_te.unique_pct[col]
         count_unique_train = (
@@ -67,16 +67,33 @@ def build_dc_report(
         count_unique_test = (
             0 if unique_test == "NA" else rep_te.n_rows * (unique_test / 100)
         )
-        kind_tr = _kind(train, col)
-        kind_te = _kind(test, col)
-        numeric = kind_tr in ("int", "float") and kind_te in ("int", "float")
+        numeric = _kind(train, col) in ("int", "float") and _kind(test, col) in (
+            "int",
+            "float",
+        )
+        return (
+            numeric
+            and count_unique_train < 10
+            and count_unique_test < 10
+            and rep_tr.missing_pct[col] < 100
+            and rep_te.missing_pct[col] < 100
+        )
+
+    ks_cols = [c for c in train.columns if _qualifies(c)]
+    ks_stats = ks_2samp_many(train, test, ks_cols)
+
+    dist_diff: dict[str, str | None] = {}
+    for col in train.columns:
+        missing_train = rep_tr.missing_pct[col]
+        missing_test = rep_te.missing_pct[col]
+        unique_train = rep_tr.unique_pct[col]
+        unique_test = rep_te.unique_pct[col]
 
         s = ""
-        if numeric and count_unique_train < 10 and count_unique_test < 10:
-            if missing_train < 100 and missing_test < 100:
-                ks = ks_2samp_auto(train, col, test, col)
-                if ks > 0:
-                    s += f"The distributions of {col} are different with a KS test statistic of {ks:.3f}. "
+        if col in ks_stats:
+            ks = ks_stats[col]
+            if ks > 0:
+                s += f"The distributions of {col} are different with a KS test statistic of {ks:.3f}. "
         if missing_train != missing_test:
             s += f"The percentage of missing values of {col} are different between train ({missing_train:.2f}%) and test ({missing_test:.2f}%). "
         if unique_train != unique_test:

@@ -134,6 +134,77 @@ def minhash_signatures(
     return sig
 
 
+def _capped_bucket_pairs(
+    exploded: DataFrame,
+    bucket_keys: list[str],
+    payload: str,
+    max_bucket: int,
+) -> DataFrame:
+    """Candidate pairs from (bucket_keys, id, payload) rows with a
+    hot-bucket guard.
+
+    Buckets up to ``max_bucket`` members do the classic all-pairs
+    self-join.  Oversized buckets — millions of near-identical
+    boilerplate pages landing in one band hash is the common web-corpus
+    pathology — degrade to a STAR comparison: every member is paired
+    only with the bucket's min-id representative, so work is O(B) per
+    bucket instead of O(B^2).  Nothing is dropped: every member still
+    gets exactly one verified comparison, and for the tight clusters
+    that create hot buckets the representative matches all members.
+    Returns (id_a, id_b, <payload>_a, <payload>_b), id_a < id_b,
+    deduplicated across buckets.
+    """
+    wb = Window.partitionBy(*bucket_keys)
+    wbo = wb.orderBy("id")
+    ex = exploded.select(
+        *bucket_keys,
+        "id",
+        payload,
+        F.count(F.lit(1)).over(wb).alias("__cnt"),
+        F.min("id").over(wb).alias("__rep"),
+        F.first(payload).over(wbo).alias("__rep_pay"),
+    )
+    small = ex.filter(F.col("__cnt") <= max_bucket)
+    left = small.select(
+        *bucket_keys,
+        F.col("id").alias("id_a"),
+        F.col(payload).alias(f"{payload}_a"),
+    )
+    right = small.select(
+        *bucket_keys,
+        F.col("id").alias("id_b"),
+        F.col(payload).alias(f"{payload}_b"),
+    )
+    pairs_small = (
+        left.join(right, bucket_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", f"{payload}_a", f"{payload}_b")
+    )
+    pairs_big = ex.filter(
+        (F.col("__cnt") > max_bucket) & (F.col("id") != F.col("__rep"))
+    ).select(
+        F.col("__rep").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("__rep_pay").alias(f"{payload}_a"),
+        F.col(payload).alias(f"{payload}_b"),
+    )
+    return pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
+
+
+def _split_identical(base: DataFrame, key: str) -> tuple[DataFrame, DataFrame]:
+    """(representatives, duplicate_ids) by exact equality of ``key``.
+
+    Groups with identical signatures are trivially near-dups of each
+    other; collapsing them BEFORE banding removes the main source of
+    quadratic hot buckets (exact boilerplate copies) at the cost of
+    one shuffle on the signature."""
+    w = Window.partitionBy(key).orderBy("id")
+    marked = base.withColumn("__rn", F.row_number().over(w))
+    reps = marked.filter(F.col("__rn") == 1).drop("__rn")
+    ident_dups = marked.filter(F.col("__rn") > 1).select("id")
+    return reps, ident_dups
+
+
 def minhash_lsh_duplicates(
     df: DataFrame,
     id_col: str,
@@ -143,14 +214,19 @@ def minhash_lsh_duplicates(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """MinHash+LSH near-dup marking.
 
     Returns (id_col, is_near_dup).  A doc is a near-dup if an LSH band
     collides with a smaller-id doc AND the full-signature match
-    fraction >= threshold (signature Jaccard estimate)."""
+    fraction >= threshold (signature Jaccard estimate).  Identical
+    signatures collapse before banding; buckets larger than
+    ``max_bucket`` degrade to star comparisons (_capped_bucket_pairs),
+    so no bucket ever goes quadratic."""
     rows = num_hashes // bands
     base = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    reps, ident_dups = _split_identical(base, "sig")
     band_structs = F.array(
         *[
             F.struct(
@@ -164,22 +240,10 @@ def minhash_lsh_duplicates(
             for b in range(bands)
         ]
     )
-    exploded = base.select("id", "sig", F.explode(band_structs).alias("b")).select(
+    exploded = reps.select("id", "sig", F.explode(band_structs).alias("b")).select(
         "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    # candidate pairs within a bucket; join smaller id to larger id
-    left = exploded.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
-    )
-    right = exploded.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
-    )
-    pairs = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _capped_bucket_pairs(exploded, ["band", "bh"], "sig", max_bucket)
     match_frac = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
         F.lit(0),
@@ -188,7 +252,11 @@ def minhash_lsh_duplicates(
     confirmed = pairs.withColumn("match_frac", match_frac).filter(
         F.col("match_frac") >= threshold
     )
-    dup_ids = confirmed.select(F.col("id_b").alias("id")).distinct()
+    dup_ids = (
+        confirmed.select(F.col("id_b").alias("id"))
+        .unionByName(ident_dups)
+        .distinct()
+    )
     return df.join(
         dup_ids.withColumn("is_near_dup", F.lit(True)),
         df[id_col] == dup_ids["id"],
@@ -237,14 +305,17 @@ def simhash_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """SimHash near-dup: band the 64 bits into ``bands`` 16-bit keys —
     any pair within hamming distance < bands shares >= 1 exact band
     (pigeonhole), so bucketing on bands finds all candidates; verify
-    with popcount."""
+    with popcount.  Identical hashes collapse pre-banding and buckets
+    above ``max_bucket`` degrade to star comparisons."""
     base = df.select(
         F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
     ).persist()  # compute the UDF once, not on both join sides
+    reps, ident_dups = _split_identical(base, "sh")
     width = 64 // bands
     band_cols = F.array(
         *[
@@ -257,19 +328,17 @@ def simhash_duplicates(
             for b in range(bands)
         ]
     )
-    exploded = base.select("id", "sh", F.explode(band_cols).alias("b")).select(
+    exploded = reps.select("id", "sh", F.explode(band_cols).alias("b")).select(
         "id", "sh", "b.band", "b.key"
     )
-    left = exploded.select("band", "key", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    right = exploded.select("band", "key", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _capped_bucket_pairs(exploded, ["band", "key"], "sh", max_bucket)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     confirmed = pairs.filter(hamming <= max_hamming)
-    dup_ids = confirmed.select(F.col("id_b").alias("id")).distinct()
+    dup_ids = (
+        confirmed.select(F.col("id_b").alias("id"))
+        .unionByName(ident_dups)
+        .distinct()
+    )
     return df.join(
         dup_ids.withColumn("is_near_dup", F.lit(True)),
         df[id_col] == dup_ids["id"],
@@ -295,10 +364,12 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     bucket_hashes: int = 8,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-generated candidate pairs: a
     cheap 8-hash MinHash banding proposes candidates, exact
-    array_intersect/array_union verifies.  Never O(n^2)."""
+    array_intersect/array_union verifies.  Never O(n^2): buckets above
+    ``max_bucket`` degrade to star comparisons vs the min-id member."""
     sh = word_shingles(text_col, shingle_n)
     base = (
         df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shingles"))
@@ -307,14 +378,10 @@ def ngram_jaccard_pairs(
     )
     withsig = minhash_signatures(df, id_col, text_col, bucket_hashes, shingle_n)
     buckets = withsig.select(
-        "id", F.explode(F.col("sig")).alias("bh")
+        "id", F.explode(F.col("sig")).alias("bh"), F.lit(0).alias("pay")
     )
-    pairs = (
-        buckets.alias("l")
-        .join(buckets.alias("r"), "bh")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = _capped_bucket_pairs(buckets, ["bh"], "pay", max_bucket).select(
+        "id_a", "id_b"
     )
     a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -336,9 +403,12 @@ def embedding_near_duplicates(
     planes: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH buckets + exact
-    verification inside buckets (zip_with dot product)."""
+    verification inside buckets (zip_with dot product).  Buckets above
+    ``max_bucket`` degrade to star comparisons vs the min-id member —
+    the boilerplate-cluster guard for embedding space."""
     from .similarity import cosine_expr, hyperplane_bucket
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -346,14 +416,10 @@ def embedding_near_duplicates(
         F.col("v"), planes=planes, seed=seed, dim=dim, df=df, vec_col=vec_col
     )
     base = base.withColumn("bucket", bucket)
-    left = base.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    right = base.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _capped_bucket_pairs(base, ["bucket"], "v", max_bucket)
         .withColumn("cos", cosine_expr(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
-        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs

@@ -57,14 +57,16 @@ def ks_2samp_df(df1: DataFrame, col1: str, df2: DataFrame, col2: str) -> float:
 
 def ks_2samp_auto(
     df1: DataFrame, col1: str, df2: DataFrame, col2: str,
-    max_distinct_for_driver: int = 5_000_000,
+    max_distinct_for_driver: int = 100_000,
 ) -> float:
     """Exact KS with an adaptive physical strategy: group the union by
     value (map-side partial agg, one small shuffle), and if the
     distinct-value histogram is small enough, finish the cumulative
     max on the driver — avoiding the global-window single-task sort
-    that ``ks_2samp_df`` pays.  Falls back to the fully distributed
-    window plan above the threshold."""
+    that ``ks_2samp_df`` pays.  Above the threshold the fully
+    distributed window plan (``ks_2samp_df``) is the engine-mode
+    default — the driver never sees more than ``max_distinct_for_
+    driver`` histogram rows (default 100k ~ 1.6 MB)."""
     a = (
         df1.select(F.col(col1).cast("double").alias("v"))
         .where(F.col("v").isNotNull() & ~F.isnan("v"))
@@ -91,6 +93,64 @@ def ks_2samp_auto(
         return float("nan")
     gaps = np.abs(pdf["c1"].cumsum() / n1 - pdf["c2"].cumsum() / n2)
     return float(gaps.max())
+
+
+def ks_2samp_many(
+    df1: DataFrame, df2: DataFrame, cols: list[str]
+) -> dict[str, float]:
+    """Exact KS for MANY numeric columns in ONE job (dc_report batch
+    path, VERDICT r01 item 8).
+
+    Long form via posexplode -> (col_idx, value, tag), one groupBy
+    with map-side combine, then per-column cumulative-gap windows
+    PARTITIONED BY col_idx — columns process in parallel, no global
+    single-task sort, and the driver receives exactly one row per
+    column."""
+    if not cols:
+        return {}
+
+    def longform(df: DataFrame, tag: int) -> DataFrame:
+        arr = F.array(*[F.col(c).cast("double") for c in cols])
+        return (
+            df.select(F.posexplode(arr).alias("ci", "v"))
+            .filter(F.col("v").isNotNull() & ~F.isnan("v"))
+            .withColumn("tag", F.lit(tag))
+        )
+
+    u = longform(df1, 1).unionByName(longform(df2, 0))
+    per_val = u.groupBy("ci", "v").agg(
+        F.sum("tag").alias("c1"), F.sum(1 - F.col("tag")).alias("c2")
+    )
+    wc = Window.partitionBy("ci").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("ci")
+    gaps = per_val.select(
+        "ci",
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c2").over(wt).alias("n2"),
+        F.abs(
+            # try_divide: ANSI mode errors on /0; a zero divisor means
+            # one side is empty for that column and the n1/n2 guard
+            # below reports NaN anyway
+            F.try_divide(F.sum("c1").over(wc), F.sum("c1").over(wt))
+            - F.try_divide(F.sum("c2").over(wc), F.sum("c2").over(wt))
+        ).alias("gap"),
+    )
+    rows = (
+        gaps.groupBy("ci")
+        .agg(
+            F.max("gap").alias("d"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+        .collect()
+    )
+    out = {c: float("nan") for c in cols}
+    for r in rows:
+        if (r["n1"] or 0) > 0 and (r["n2"] or 0) > 0:
+            out[cols[r["ci"]]] = float(r["d"])
+    return out
 
 
 def ks_2samp_arrays(x, y) -> float:

@@ -53,31 +53,45 @@ def with_extracted(df: DataFrame, html: str = "html") -> DataFrame:
     return df.withColumn("extracted_text", extracted)
 
 
+def duplicate_urls(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """The global dedup verdict: urls that are NOT the survivor of
+    their sha2(text) group (survivor = lexicographically smallest url,
+    deterministic under any parallelism — SURVEY.md §7.3 hard-part 5).
+
+    Only (hash, url) — ~50 bytes/row — is shuffled; the text never
+    moves.  The result is tiny for realistic dup rates.  Batch runners
+    persist this once and reuse it across bucket batches (the verdict
+    must see ALL buckets — a survivor may live in another bucket)."""
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    slim = df.select(F.col(url_col).alias("__u"), h.alias("__h"))
+    w = Window.partitionBy("__h").orderBy("__u")
+    return (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("__u").alias(url_col))
+        .withColumn("__is_dup", F.lit(True))
+    )
+
+
 def mark_duplicates(
     df: DataFrame,
     url_col: str = "url",
     text_col: str = "text",
     broadcast_dups: bool = True,
+    verdict: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact dedup: survivor = lexicographically smallest url per
-    sha2(text) group (deterministic under any parallelism — SURVEY.md
-    §7.3 hard-part 5).
+    """Join the dedup verdict back onto the main table.
 
-    Only (hash, url) — ~50 bytes/row — is shuffled; the text never
-    moves.  The verdict that joins back is reduced to just the
-    DUPLICATE urls (rn > 1), which is tiny for realistic dup rates,
-    and broadcast — so the wide main table is never shuffled.  With
+    The verdict is reduced to just the DUPLICATE urls (rn > 1) and
+    broadcast — so the wide main table is never shuffled.  With
     ``broadcast_dups=False`` (10^12-doc scale where even the dup set
     is huge) the join falls back to sort-merge; co-locate it with the
-    output's url-hash bucketing."""
-    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
-    slim = df.select(F.col(url_col).alias("__u"), h.alias("__h"))
-    w = Window.partitionBy("__h").orderBy("__u")
+    output's url-hash bucketing.  Pass a precomputed (persisted)
+    ``verdict`` to share one dedup shuffle across batch runs."""
     dup_urls = (
-        slim.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > 1)
-        .select(F.col("__u").alias(url_col))
-        .withColumn("__is_dup", F.lit(True))
+        verdict if verdict is not None else duplicate_urls(df, url_col, text_col)
     )
     if broadcast_dups:
         dup_urls = F.broadcast(dup_urls)
@@ -91,10 +105,16 @@ def quality_filter(
     cfg: QualityConfig | None = None,
     scrub: bool = True,
     check_extraction: bool = True,
+    dup_verdict: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline: returns the input columns plus stats, lang_pred/
     lang_score, ppl, is_dup, issues, dq_issue, keep, scrubbed_text,
-    bucket."""
+    bucket.
+
+    If ``df`` already carries a ``bucket`` column (run_pipeline adds it
+    at scan time so per-batch bucket filters prune BEFORE the Arrow UDF
+    and the dedup join) it is kept as-is; ``dup_verdict`` likewise lets
+    a batch runner share one persisted dedup verdict."""
     cfg = cfg or QualityConfig()
     out = df
     if check_extraction and "html" in df.columns:
@@ -117,7 +137,7 @@ def quality_filter(
     ):
         out = out.withColumn(fld, F.col(f"__ts.{fld}"))
     out = out.drop("__ts")
-    out = mark_duplicates(out)
+    out = mark_duplicates(out, verdict=dup_verdict)
 
     rules = rule_exprs(cfg)
     issue_structs = [
@@ -147,9 +167,10 @@ def quality_filter(
     if scrub:
         out = out.withColumn("scrubbed_text", scrub_col(F.col("text")))
         out = out.withColumn("pii_hits", pii_hit_count(F.col("text")))
-    out = out.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
-    )
+    if "bucket" not in out.columns:
+        out = out.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
+        )
     return out
 
 
@@ -222,12 +243,23 @@ def run_pipeline(
     re-run of a bucket is idempotent), writes the metrics sidecar and
     a per-bucket JSON manifest entry AFTER the bucket's data commits.
 
-    On restart with ``resume=True`` completed buckets are skipped by a
-    partition-pruned filter — Spark never reads their input again."""
+    On restart with ``resume=True`` completed buckets are skipped.
+    The input parquet is not partitioned by bucket, so each batch does
+    rescan the input — but ``bucket`` is derived from url AT SCAN TIME
+    here, so the per-batch filter is pushed below the Arrow UDF pass,
+    the rules/scrub projections, and the dedup join: a batch pays the
+    scan plus ITS OWN rows only.  The global dedup verdict (which must
+    see all buckets) is computed once, persisted, and reused by every
+    batch — one (hash,url) shuffle for the whole run."""
     cfg = cfg or QualityConfig()
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    result = quality_filter(df, cfg)
+    df = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
+    )
+    verdict = duplicate_urls(df).persist()
+    verdict.count()  # materialize: every batch reuses the cached verdict
+    result = quality_filter(df, cfg, dup_verdict=verdict)
 
     done = completed_buckets(out_dir) if resume else set()
     all_buckets = list(range(cfg.n_buckets))
@@ -263,6 +295,7 @@ def run_pipeline(
             ) as fh:
                 json.dump({k: _js(v) for k, v in meta.items()}, fh)
         processed.extend(group)
+    verdict.unpersist()
     return {
         "processed_buckets": processed,
         "skipped_buckets": sorted(done),

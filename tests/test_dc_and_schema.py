@@ -49,6 +49,52 @@ def test_ks_identical_is_zero(spark):
     assert ks_2samp_df(d, "v", d, "v") == 0.0
 
 
+def test_ks_auto_both_paths_agree(spark):
+    # driver-finish path (distinct <= threshold) and the distributed
+    # window fallback must both match the exact reference
+    from pandas_dq_spark.operators.ks import ks_2samp_auto
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, 500)
+    y = rng.normal(0.3, 1.1, 400)
+    d1 = spark.createDataFrame(pd.DataFrame({"v": x}))
+    d2 = spark.createDataFrame(pd.DataFrame({"v": y}))
+    exp = _ks_exact_reference(x, y)
+    assert ks_2samp_auto(d1, "v", d2, "v") == pytest.approx(exp, abs=1e-12)
+    # force the distributed path with a tiny driver threshold
+    assert ks_2samp_auto(
+        d1, "v", d2, "v", max_distinct_for_driver=10
+    ) == pytest.approx(exp, abs=1e-12)
+
+
+def test_ks_many_matches_per_column(spark):
+    # one fused job over several columns == per-column exact KS
+    from pandas_dq_spark.operators.ks import ks_2samp_many
+
+    rng = np.random.default_rng(13)
+    pdf1 = pd.DataFrame(
+        {
+            "a": rng.normal(0, 1, 400),
+            "b": rng.integers(0, 5, 400).astype(float),
+            "c": np.full(400, np.nan),
+        }
+    )
+    pdf2 = pd.DataFrame(
+        {
+            "a": rng.normal(0.5, 1.2, 300),
+            "b": rng.integers(1, 6, 300).astype(float),
+            "c": rng.normal(0, 1, 300),
+        }
+    )
+    d1 = spark.createDataFrame(pdf1)
+    d2 = spark.createDataFrame(pdf2)
+    got = ks_2samp_many(d1, d2, ["a", "b", "c"])
+    for c in ("a", "b"):
+        exp = _ks_exact_reference(pdf1[c].to_numpy(), pdf2[c].to_numpy())
+        assert got[c] == pytest.approx(exp, abs=1e-12), c
+    assert np.isnan(got["c"])  # one side all-NaN -> nan like scipy dropna
+
+
 def test_dc_report_shapes_and_strings(spark):
     rng = np.random.default_rng(11)
     n = 400

@@ -94,6 +94,58 @@ def test_ngram_jaccard_pairs(spark):
             assert r["jaccard"] == pytest.approx(1.0)
 
 
+def test_minhash_hot_bucket_bounded(spark):
+    # 1500 NEAR-identical docs (unique last word -> distinct signatures,
+    # but most bands collide into one bucket) + 40 unrelated docs.
+    # With max_bucket=50 the all-pairs join would be ~1500^2/2 pairs;
+    # the star path keeps it O(B) and still flags every copy.
+    pool = LANG_POOLS["en"]
+    body = " ".join(pool[i % len(pool)] for i in range(80))
+    rows = [(i, f"{body} unique{i}") for i in range(1500)]
+    rng = np.random.default_rng(7)
+    for j in range(40):
+        words = [pool[int(rng.integers(0, len(pool)))] for _ in range(80)]
+        rows.append((10_000 + j, " ".join(words)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = minhash_lsh_duplicates(df, "doc_id", threshold=0.6, max_bucket=50)
+    dup_ids = {r["doc_id"] for r in out.filter("is_near_dup").collect()}
+    # every non-min member of the hot cluster is flagged (star recall)
+    assert len({d for d in dup_ids if d < 1500}) >= 0.99 * 1499
+    assert 0 not in dup_ids  # representative survives
+    assert all(d < 10_000 for d in dup_ids)  # no false positives
+
+
+def test_identical_signature_collapse(spark):
+    # byte-identical docs collapse pre-banding: all non-min ids flagged
+    rows = [(i, "the exact same document text repeated many times over") for i in range(800)]
+    rows += [(5000, "a completely different and unrelated sentence here")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = minhash_lsh_duplicates(df, "doc_id", threshold=0.9, max_bucket=10)
+    dup_ids = {r["doc_id"] for r in out.filter("is_near_dup").collect()}
+    assert dup_ids == set(range(1, 800))
+    out2 = simhash_duplicates(df, "doc_id", max_bucket=10)
+    dup2 = {r["doc_id"] for r in out2.filter("is_near_dup").collect()}
+    assert dup2 == set(range(1, 800))
+
+
+def test_embedding_hot_bucket_star(spark):
+    # 600 identical vectors in one hyperplane bucket with a low cap:
+    # star comparisons yield exactly rep-vs-member pairs, all cos=1
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(600),
+            "embedding": [[0.5, 0.25, -0.75, 0.1]] * 600,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = embedding_near_duplicates(
+        df, "vec_id", threshold=0.99, max_bucket=100, dim=4
+    )
+    rows = pairs.collect()
+    assert len(rows) == 599
+    assert all(r["id_a"] == 0 and r["cos"] == pytest.approx(1.0) for r in rows)
+
+
 def test_embedding_near_duplicates(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # append jittered copies of the first 20 vectors

@@ -165,3 +165,43 @@ def test_resume_produces_identical_output(spark, tmp_path):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert completed_buckets(part_dir) == set(range(8))
+
+
+def test_batch_filter_prunes_before_udf_and_verdict_cached(spark, tmp_path):
+    # the per-batch bucket filter must reach the parquet scan (below
+    # the Arrow UDF pass), and the dedup verdict must come from cache
+    # (one (hash,url) shuffle for the whole batched run) — VERDICT r01
+    # item 6
+    from pandas_dq_spark.webtext.pipeline import duplicate_urls, quality_filter
+
+    cfg = QualityConfig(n_buckets=8)
+    src = str(tmp_path / "pages")
+    pages_df(spark, 200).write.mode("overwrite").parquet(src)
+    raw = spark.read.parquet(src).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
+    )
+    verdict = duplicate_urls(raw).persist()
+    verdict.count()
+    try:
+        result = quality_filter(raw, cfg, dup_verdict=verdict)
+        plan = (
+            result.filter(F.col("bucket").isin([0, 1]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan  # verdict served from cache
+        # the xxhash64 bucket predicate lands in the scan's DataFilters
+        scan_lines = [
+            l for l in plan.splitlines() if "FileScan" in l and "DataFilters" in l
+        ]
+        assert any("xxhash64" in l for l in scan_lines), plan
+        # and the Arrow UDF sits ABOVE that filtered scan
+        lines = plan.splitlines()
+        udf_i = next(i for i, l in enumerate(lines) if "ArrowEvalPython" in l)
+        scan_i = next(
+            i for i, l in enumerate(lines) if "FileScan" in l and "xxhash64" in l
+        )
+        assert udf_i < scan_i  # tree prints top-down: UDF above the scan
+    finally:
+        verdict.unpersist()
