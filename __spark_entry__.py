@@ -644,8 +644,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             }
         )
         out = chk.fit(ev).transform(ev)
+        counts = (
+            out.agg(*[F.count(F.col(c)).alias(c) for c in out.columns])
+            .collect()[0]
+            .asDict()
+        )
         return spark.createDataFrame(
-            [(c, t) for c, t in out.dtypes], "column string, dtype string"
+            [(c, t, counts[c]) for c, t in out.dtypes],
+            "column string, dtype string, n_nonnull long",
         )
 
     q["schema_checker_events"] = schema_checker_events
@@ -740,8 +746,255 @@ def _mixed_types_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def _fixdq_transform_sql() -> str:
+    """FixDQ on lineitem in SQL: fitted state at sf0.01 = upper-bound
+    caps on the four float columns only (no drops / imputes / skew
+    transforms fire on this data — verified via FixDQ.fit); bounds are
+    COMPUTED here (quantile_cont(0.87/0.13), pandas_dq.py:921-948
+    formula) so the oracle recomputes the fitted values, not copies
+    them."""
+    floats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    bexprs = ", ".join(
+        f"quantile_cont({c}, 0.87) + 1.5*(quantile_cont({c}, 0.87) - quantile_cont({c}, 0.13)) AS ub_{c}"
+        for c in floats
+    )
+    avgs = ", ".join(
+        f"round(avg(CASE WHEN {c} > ub_{c} THEN ub_{c} ELSE {c} END), 4) AS avg_{c}"
+        for c in floats
+    )
+    return f"""
+        WITH b AS (SELECT {bexprs} FROM lineitem),
+             d AS (SELECT DISTINCT * FROM lineitem)
+        SELECT count(*) AS n_rows, {avgs}
+        FROM d, b
+    """
+
+
+def _dq_report_orders_sql() -> str:
+    """dq_report(orders) in SQL: per-column report frame with the
+    check CONDITIONS recomputed (ID = distinct==n, IQR outliers with
+    printf'd bounds, rare-category counts) — only the dtype-driven
+    strings (date-time flag) and pandas dtype names are literals.
+    Min/max render as float64 strings because the frame holds
+    ineligible (string/date) columns — the reference's join-reindex
+    upcast (pandas_dq.py:230)."""
+    ints = {"o_orderkey": "int64", "o_custkey": "int64"}
+    rows = []
+    for c, dt in ints.items():
+        rows.append(f"""
+          SELECT '{c}' AS column_name, '{dt}' AS data_type,
+                 (SELECT 100.0*(count(*) - count({c}))/count(*) FROM orders) AS missing_values_pct,
+                 CAST((SELECT (100*count(DISTINCT {c}))//count(*) FROM orders) AS VARCHAR) AS unique_values_pct,
+                 CAST((SELECT CAST(min({c}) AS DOUBLE) FROM orders) AS VARCHAR) AS minimum_value,
+                 CAST((SELECT CAST(max({c}) AS DOUBLE) FROM orders) AS VARCHAR) AS maximum_value,
+                 CASE WHEN (SELECT count(DISTINCT {c}) FROM orders) = (SELECT count(*) FROM orders)
+                      THEN 'Possible ID column: drop before modeling step.'
+                      WHEN (SELECT count(DISTINCT {c}) FROM orders) = 1
+                      THEN 'Possible Zero-variance or low information colum: drop before modeling step.'
+                      ELSE 'No issue' END AS dq_issue
+        """)
+    for c in ["o_orderstatus", "o_orderpriority"]:
+        rows.append(f"""
+          SELECT '{c}', 'object',
+                 (SELECT 100.0*(count(*) - count({c}))/count(*) FROM orders),
+                 CAST((SELECT (100*count(DISTINCT {c}))//count(*) FROM orders) AS VARCHAR),
+                 '', '',
+                 CASE WHEN (SELECT count(*) FROM (
+                         SELECT count(*) AS cnt FROM orders WHERE {c} IS NOT NULL GROUP BY {c}
+                       ) t WHERE cnt * 1.0 / (SELECT count({c}) FROM orders) < 0.01) > 0
+                      THEN '<<rare categories present: oracle does not render the list>>'
+                      ELSE 'No issue' END
+        """)
+    rows.append("""
+      SELECT 'o_totalprice', 'float64',
+             (SELECT 100.0*(count(*) - count(o_totalprice))/count(*) FROM orders),
+             'NA',
+             CAST((SELECT min(o_totalprice) FROM orders) AS VARCHAR),
+             CAST((SELECT max(o_totalprice) FROM orders) AS VARCHAR),
+             (SELECT CASE WHEN n_out > 0
+                  THEN printf('Column has %d outliers greater than upper bound (%.2f) or lower than lower bound(%.2f). Cap them or remove them.', n_out, ub, lb)
+                  ELSE 'No issue' END
+              FROM (
+                SELECT CAST(sum(CASE WHEN o_totalprice < lb OR o_totalprice > ub THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+                       any_value(ub) AS ub, any_value(lb) AS lb
+                FROM orders, (
+                  SELECT quantile_cont(o_totalprice, 0.25) - 1.5*(quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25)) AS lb,
+                         quantile_cont(o_totalprice, 0.75) + 1.5*(quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25)) AS ub
+                  FROM orders)
+              ))
+    """)
+    rows.append("""
+      SELECT 'o_orderdate', 'datetime64[ns]',
+             (SELECT 100.0*(count(*) - count(o_orderdate))/count(*) FROM orders),
+             CAST((SELECT (100*count(DISTINCT o_orderdate))//count(*) FROM orders) AS VARCHAR),
+             '', '',
+             'Possible date-time colum: transform before modeling step.'
+    """)
+    return "\nUNION ALL\n".join(rows)
+
+
+def _t_fingerprints_sql() -> str:
+    """quality_score recomputed in DuckDB (same weights/bands as
+    functions/textstats.py:59-75); n_fingerprints compared against
+    count(DISTINCT whitespace-normalized text) — equal iff the 31-bit
+    rolling hash has no collision at this scale (it is also a
+    collision check)."""
+    from pandas_dq_spark.webtext.lm import EN_STOPWORDS
+
+    stop_list = "[" + ",".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+    return f"""
+        WITH s AS (
+          SELECT text, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+        ), q AS (
+          SELECT array_to_string(w, ' ') AS norm,
+                 CASE WHEN trim(text) = '' THEN 0.0 ELSE
+                   0.3 * (CASE WHEN len(w) BETWEEN 50 AND 100000 THEN 1.0
+                               WHEN len(w) >= 10 THEN 0.5 ELSE 0.0 END)
+                 + 0.25 * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0 / length(text)
+                       ELSE 0.0 END) * 5.0)
+                 + 0.25 * least(1.0, (len(list_filter(w, x -> list_contains({stop_list}, x))) * 1.0 / len(w)) / 0.2)
+                 + 0.2 * (CASE WHEN (list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)) BETWEEN 3 AND 10
+                               THEN 1.0 ELSE 0.0 END)
+                 END AS score
+          FROM s
+        )
+        SELECT count(DISTINCT norm) AS n_fingerprints,
+               round(avg(score), 6) AS avg_quality
+        FROM q
+    """
+
+
+def _schema_checker_sql() -> str:
+    """DataSchemaChecker(events) in SQL: target dtypes are literals
+    (they are the checker's declared schema), but each column's
+    post-coercion non-null count is recomputed with TRY_CAST — the
+    data-derived part of the check."""
+    return """
+        SELECT 'event_id' AS column, 'bigint' AS dtype,
+               (SELECT count(event_id) FROM events) AS n_nonnull
+        UNION ALL SELECT 'ts', 'timestamp',
+               (SELECT count(try_cast(CAST(ts AS VARCHAR) AS TIMESTAMP)) FROM events)
+        UNION ALL SELECT 'user_id', 'bigint',
+               (SELECT count(user_id) FROM events)
+        UNION ALL SELECT 'event_type', 'string',
+               (SELECT count(event_type) FROM events)
+        UNION ALL SELECT 'value', 'float',
+               (SELECT count(try_cast(value AS FLOAT)) FROM events)
+        UNION ALL SELECT 'props', 'string',
+               (SELECT count(props) FROM events)
+    """
+
+
+def _dc_report_events_sql() -> str:
+    """dc_report(events even/odd split, verbose=0) in SQL: per-side
+    issue strings and the Distribution Difference column recomputed —
+    IQR outlier counts+bounds, rare-category counts (cap 10 ->
+    'Too many to list', pandas_dq.py:289-293), exact KS via window
+    cumulative CDFs, missing/unique diffs via printf.  The KS gate
+    (numeric AND count_unique<10 both sides) passes only for the float
+    column `value` ('NA' -> 0 quirk); user_id's distinct count is far
+    above 10 at every sf, so no KS is encoded for it."""
+
+    def side(tag: str) -> str:
+        parity = 0 if tag == "tr" else 1
+        return f"(SELECT * FROM events WHERE event_id % 2 = {parity})"
+
+    def rare_issue(s: str, col: str) -> str:
+        return f"""
+          (SELECT CASE WHEN n_rare = 0 THEN 'No issue'
+                  WHEN n_rare <= 10 THEN '<<oracle: small rare list not rendered>>'
+                  ELSE printf('%d rare categories: Too many to list. Group them into a single category or drop the categories.', n_rare) END
+           FROM (SELECT CAST(count(*) AS BIGINT) AS n_rare FROM (
+              SELECT count(*) AS cnt FROM {s} t1 WHERE {col} IS NOT NULL GROUP BY {col}
+           ) t WHERE cnt * 1.0 / (SELECT count({col}) FROM {s} t2) < 0.01))
+        """
+
+    def outlier_issue(s: str) -> str:
+        return f"""
+          (SELECT CASE WHEN n_out > 0
+               THEN printf('Column has %d outliers greater than upper bound (%.2f) or lower than lower bound(%.2f). Cap them or remove them.', n_out, ub, lb)
+               ELSE 'No issue' END
+           FROM (SELECT CAST(sum(CASE WHEN value < lb OR value > ub THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+                        any_value(ub) AS ub, any_value(lb) AS lb
+                 FROM {s} t1, (
+                   SELECT quantile_cont(value, 0.25) - 1.5*(quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS lb,
+                          quantile_cont(value, 0.75) + 1.5*(quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS ub
+                   FROM {s} t2) b))
+        """
+
+    def upct(s: str, col: str) -> str:
+        return f"(SELECT (100*count(DISTINCT {col}))//count(*) FROM {s} t)"
+
+    def mpct(s: str, col: str) -> str:
+        return f"(SELECT 100.0*(count(*) - count({col}))/count(*) FROM {s} t)"
+
+    def diff_nonnum(col: str) -> str:
+        return f"""
+          NULLIF(
+            CASE WHEN {mpct(side('tr'), col)} <> {mpct(side('te'), col)}
+                 THEN printf('The percentage of missing values of {col} are different between train (%.2f%%) and test (%.2f%%). ',
+                             {mpct(side('tr'), col)}, {mpct(side('te'), col)}) ELSE '' END ||
+            CASE WHEN {upct(side('tr'), col)} <> {upct(side('te'), col)}
+                 THEN printf('The percentage of unique values of {col} are different between train (%.2f%%) and test (%.2f%%). ',
+                             CAST({upct(side('tr'), col)} AS DOUBLE), CAST({upct(side('te'), col)} AS DOUBLE)) ELSE '' END,
+          '')
+        """
+
+    ks = """
+      (WITH u AS (
+         SELECT value AS v, CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS tag
+         FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+       ), pv AS (
+         SELECT v, sum(tag) AS c1, sum(1 - tag) AS c2 FROM u GROUP BY v
+       ), g AS (
+         SELECT abs(
+           sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / (SELECT sum(c1) FROM pv)
+           - sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / (SELECT sum(c2) FROM pv)) AS gap
+         FROM pv
+       )
+       SELECT max(gap) FROM g)
+    """
+    diff_value = f"""
+      NULLIF(
+        CASE WHEN {ks} > 0 THEN printf('The distributions of value are different with a KS test statistic of %.3f. ', {ks}) ELSE '' END ||
+        CASE WHEN {mpct(side('tr'), 'value')} <> {mpct(side('te'), 'value')}
+             THEN printf('The percentage of missing values of value are different between train (%.2f%%) and test (%.2f%%). ',
+                         {mpct(side('tr'), 'value')}, {mpct(side('te'), 'value')}) ELSE '' END,
+      '')
+    """
+    rows = [
+        f"""SELECT 'ts' AS column_name,
+              'Possible date-time colum: transform before modeling step.' AS dq_issue_train,
+              'Possible date-time colum: transform before modeling step.' AS dq_issue_test,
+              {diff_nonnum('ts')} AS distribution_difference""",
+        f"""SELECT 'user_id',
+              CASE WHEN (SELECT count(DISTINCT user_id) = count(*) FROM {side('tr')} t) THEN 'Possible ID column: drop before modeling step.' ELSE 'No issue' END,
+              CASE WHEN (SELECT count(DISTINCT user_id) = count(*) FROM {side('te')} t) THEN 'Possible ID column: drop before modeling step.' ELSE 'No issue' END,
+              {diff_nonnum('user_id')}""",
+        f"""SELECT 'event_type',
+              {rare_issue(side('tr'), 'event_type')},
+              {rare_issue(side('te'), 'event_type')},
+              {diff_nonnum('event_type')}""",
+        f"""SELECT 'value',
+              {outlier_issue(side('tr'))},
+              {outlier_issue(side('te'))},
+              {diff_value}""",
+        f"""SELECT 'props',
+              {rare_issue(side('tr'), 'props')},
+              {rare_issue(side('te'), 'props')},
+              {diff_nonnum('props')}""",
+    ]
+    return "\nUNION ALL\n".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dc_report_events": _dc_report_events_sql(),
+        "fixdq_transform": _fixdq_transform_sql(),
+        "dq_report_orders": _dq_report_orders_sql(),
+        "t_fingerprints": _t_fingerprints_sql(),
+        "schema_checker_events": _schema_checker_sql(),
         "w_running_revenue": """
             WITH r AS (
               SELECT o_custkey,
