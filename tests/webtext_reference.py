@@ -4,27 +4,44 @@ keep/drop labels + scrubbed text are produced by running the
 pandas_dq-semantics checks over the same rows collected to pandas').
 
 This is the ORACLE the Spark pipeline's keep/drop F1 >= 0.99 target is
-measured against (BASELINE.json).  It is written in the reference's
-idiom — eager pandas column passes, ``duplicated(keep='first')``,
-``isnull``-style emptiness checks — entirely independent of the Spark
-expression implementations.
+measured against (BASELINE.json).  The rule logic is written in the
+reference's idiom — eager pandas column passes, ``duplicated(
+keep='first')`` — independent of the Spark expressions; the langid /
+perplexity / scrub expectations come from FROZEN golden files
+(tests/golden/, written by scripts/freeze_webtext_golden.py), NOT from
+the engine's live functions, so component drift breaks these tests
+instead of silently moving the target with it (VERDICT r01 item 2).
 """
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pandas_dq_spark.webtext.heuristics import QualityConfig
-from pandas_dq_spark.webtext.lm import langid_scores, perplexity
-from pandas_dq_spark.webtext.scrub import scrub_py
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def load_golden(n_docs: int) -> pd.DataFrame:
+    path = os.path.join(GOLDEN_DIR, f"webtext_golden_{n_docs}.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} missing — generate with "
+            f"`python scripts/freeze_webtext_golden.py {n_docs}` "
+            "(only when the component behavior change is intentional)"
+        )
+    return pd.read_parquet(path)
 
 
 def reference_labels(pdf: pd.DataFrame, cfg: QualityConfig | None = None) -> pd.DataFrame:
     cfg = cfg or QualityConfig()
     df = pdf.copy()
     stop = set(cfg.stopwords)
+    golden = load_golden(len(df)).set_index("url")
 
-    def doc_stats(text: str) -> dict:
+    def doc_stats(url: str, text: str) -> dict:
         text = text or ""
         words = text.split()
         lines = text.split("\n")
@@ -36,7 +53,7 @@ def reference_labels(pdf: pd.DataFrame, cfg: QualityConfig | None = None) -> pd.
         n_stop = sum(1 for w in words if w in stop)
         n_nonalpha = sum(1 for w in words if not any(c.isalpha() for c in w))
         n_ellipsis = sum(1 for l in lines if l.endswith("..."))
-        lang, score = langid_scores(words)
+        g = golden.loc[url]
         return {
             "n_chars": n_chars,
             "n_words": n_words,
@@ -46,12 +63,14 @@ def reference_labels(pdf: pd.DataFrame, cfg: QualityConfig | None = None) -> pd.
             "non_alpha_word_frac": n_nonalpha / n_words if n_words else 0.0,
             "repeated_line_frac": (1 - len(set(lines)) / len(lines)) if lines else 0.0,
             "ellipsis_line_frac": n_ellipsis / len(lines) if lines else 0.0,
-            "lang_pred": lang,
-            "lang_score": score,
-            "ppl": perplexity(words),
+            "lang_pred": g["lang_pred"],
+            "lang_score": g["lang_score"],
+            "ppl": g["ppl"],
         }
 
-    stats = pd.DataFrame([doc_stats(t) for t in df["text"]], index=df.index)
+    stats = pd.DataFrame(
+        [doc_stats(u, t) for u, t in zip(df["url"], df["text"])], index=df.index
+    )
     s = stats
 
     # duplicate rows, pandas-style: sort by url, keep first occurrence
@@ -83,5 +102,5 @@ def reference_labels(pdf: pd.DataFrame, cfg: QualityConfig | None = None) -> pd.
     )
     out = df[["url"]].copy()
     out["ref_keep"] = ~drop
-    out["ref_scrubbed"] = [scrub_py(t or "") for t in df["text"]]
+    out["ref_scrubbed"] = golden.loc[df["url"], "ref_scrubbed"].to_numpy()
     return out
