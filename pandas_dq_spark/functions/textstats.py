@@ -82,12 +82,17 @@ def lang_guess_expr(text: Column, langs: list[str] | None = None) -> Column:
     langs = langs or list(LANG_MARKERS)
     w = tokens(text)
     scores = []
-    for lang in langs:
+    for i, lang in enumerate(langs):
         markers = sorted(LANG_MARKERS[lang])
         arr = F.array(*[F.lit(m) for m in markers])
         scores.append(
             F.struct(
                 F.size(F.filter(w, lambda x: F.array_contains(arr, x))).alias("hits"),
+                # tie-break: NEGATIVE pool index so greatest() prefers
+                # the EARLIEST pool on equal hits — matching
+                # langid_scores' first-strictly-greater-wins loop
+                # (webtext/lm.py), not lexicographic language order
+                F.lit(-i).alias("prio"),
                 F.lit(lang).alias("lang"),
             )
         )

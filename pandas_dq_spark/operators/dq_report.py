@@ -113,12 +113,36 @@ class DQReport:
     def to_spark(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.findings_rows(), FINDINGS_SCHEMA)
 
-    def to_html(self, path: str = "dq_report.html") -> str:
+    def to_html(self, path: str = "dq_report.html", styled: bool = False) -> str:
         """S7 html-sink analogue (pandas_dq.py:547-590): the report is
-        O(n_columns), rendered driver-side; no browser open."""
+        O(n_columns), rendered driver-side; no browser open.
+
+        ``styled=True`` is the S8 inline-display analogue of the
+        reference's ``style.background_gradient(cmap='Reds').
+        set_properties(font-family: Segoe UI)`` (pandas_dq.py:535-539):
+        a red gradient over the numeric Missing Values% column plus
+        the font, as inline styles."""
+        rows_data = self.findings_rows()
+        miss_vals = [r[2] for r in rows_data]
+        lo = min(miss_vals) if miss_vals else 0.0
+        hi = max(miss_vals) if miss_vals else 0.0
+
+        def miss_style(v: float) -> str:
+            if not styled:
+                return ""
+            t = 0.0 if hi == lo else (v - lo) / (hi - lo)
+            # white -> red ramp (Reds-ish); dark cells get white text
+            g = int(255 - 160 * t)
+            fg = "#ffffff" if t > 0.6 else "#000000"
+            return f" style='background-color:rgb(255,{g},{g});color:{fg}'"
+
         rows = "".join(
-            "<tr>" + "".join(f"<td>{x}</td>" for x in r) + "</tr>"
-            for r in self.findings_rows()
+            "<tr>"
+            + f"<td>{r[0]}</td><td>{r[1]}</td>"
+            + f"<td{miss_style(r[2])}>{r[2]}</td>"
+            + "".join(f"<td>{x}</td>" for x in r[3:])
+            + "</tr>"
+            for r in rows_data
         )
         hdr = "".join(
             f"<th>{h}</th>"
@@ -132,7 +156,11 @@ class DQReport:
                 "DQ Issue",
             ]
         )
-        html = f"<html><body><table border='1'><tr>{hdr}</tr>{rows}</table></body></html>"
+        font = " style=\"font-family: 'Segoe UI'\"" if styled else ""
+        html = (
+            f"<html><body><table border='1'{font}>"
+            f"<tr>{hdr}</tr>{rows}</table></body></html>"
+        )
         with open(path, "w") as f:
             f.write(html)
         return path
@@ -178,19 +206,32 @@ def build_dq_report(
 ) -> DQReport:
     n_pre = None  # lazily; dup count gives totals
 
+    # duplicate column names (pandas_dq.py:129-134).  The reference's
+    # "drop" line `df = df.T[df.T.index.duplicated(keep='first')].T`
+    # actually KEEPS ONLY the 2nd+ occurrences of duplicated names and
+    # drops every unique column (verified against the actual reference
+    # via tests/reference_shim.py: columns [a,b,a] -> report over the
+    # SECOND `a` only).  Reproduced faithfully: positional rename (so
+    # the dup-row count below can resolve columns at all) -> select
+    # the duplicated positions -> alias back.
+    seen, dup_cols, keep_idx = set(), [], []
+    names = df.columns
+    for i, c in enumerate(names):
+        if c in seen:
+            dup_cols.append(c)
+            keep_idx.append(i)
+        seen.add(c)
+    if dup_cols:
+        df = df.toDF(*[f"__c{i}" for i in range(len(names))])
+
     # ---- stage 1: duplicate rows (pandas_dq.py:122-126) ----
     dup_rows = duplicate_row_count(df)
     if dup_rows > 0:
         df = df.dropDuplicates()
-    df = df.cache()
 
-    # duplicate column names: Spark analyzer generally forbids reading
-    # them from parquet; metadata-only check (pandas_dq.py:129-134)
-    seen, dup_cols = set(), []
-    for c in df.columns:
-        if c in seen:
-            dup_cols.append(c)
-        seen.add(c)
+    if dup_cols:
+        df = df.select(*[F.col(f"__c{i}").alias(names[i]) for i in keep_idx])
+    df = df.cache()
 
     cols = df.columns
     target_col: list[str] = []
@@ -276,7 +317,9 @@ def build_dq_report(
     else:
         dq1.add(GOOD, "There are no duplicate rows in this dataset")
     if len(dup_cols) > 0:
-        dq1.add(BAD, f"There are {len(dup_cols)} duplicate columns in the dataset. De-Dup {dup_cols} using Fix_DQ.")
+        # the reference interpolates a pandas Index (pandas_dq.py:248)
+        idx_str = "Index([" + ", ".join(repr(c) for c in dup_cols) + "], dtype='object')"
+        dq1.add(BAD, f"There are {len(dup_cols)} duplicate columns in the dataset. De-Dup {idx_str} using Fix_DQ.")
     else:
         dq1.add(GOOD, "There are no duplicate columns in this datatset")
 

@@ -3,8 +3,11 @@
 The reference calls ``scipy.stats.ks_2samp`` on two in-memory columns
 (pandas_dq.py:1308-1320).  Spark has no builtin, so this is a custom
 *algorithm* (not a planner extension, SURVEY.md §7.2): union the two
-tagged samples, sort once, and take the max gap between the two
-empirical CDFs via window cumulative sums.  Exact, one shuffle.
+tagged samples, group by value (one shuffle, map-side combined), and
+take the max gap between the two empirical CDFs via RANGE-BUCKETED
+window cumulative sums — per-bucket cumsum in parallel plus
+driver-side prefix offsets over the tiny bucket-total table.  Exact,
+no global single-task sort at any scale.
 
 D = sup_x |F1(x) - F2(x)| computed at every observed value; ties are
 handled by evaluating the CDFs AFTER all rows of an equal value (group
@@ -18,10 +21,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def ks_2samp_df(df1: DataFrame, col1: str, df2: DataFrame, col2: str) -> float:
+def ks_2samp_df(
+    df1: DataFrame, col1: str, df2: DataFrame, col2: str, n_buckets: int = 256
+) -> float:
     """Exact two-sample KS statistic between ``df1[col1]`` and
     ``df2[col2]`` (nulls/NaNs dropped, like ``.dropna()`` at
-    pandas_dq.py:1317)."""
+    pandas_dq.py:1317).
+
+    Fully distributed: per-value counts (one shuffle with map-side
+    combine), then cumulative CDFs via RANGE-BUCKETED windows — each
+    of ``n_buckets`` value ranges cumsums locally in parallel, and the
+    driver prefix-sums only the ≤``n_buckets`` bucket totals into
+    literal offsets.  No global single-task sort at any size."""
     a = (
         df1.select(F.col(col1).cast("double").alias("v"))
         .where(F.col("v").isNotNull() & ~F.isnan("v"))
@@ -37,22 +48,56 @@ def ks_2samp_df(df1: DataFrame, col1: str, df2: DataFrame, col2: str) -> float:
     per_val = u.groupBy("v").agg(
         F.sum("tag").alias("c1"),
         F.sum(1 - F.col("tag")).alias("c2"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = per_val.agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
-    ).collect()[0]
-    n1, n2 = tot["n1"] or 0, tot["n2"] or 0
-    if n1 == 0 or n2 == 0:
-        return float("nan")
-    gaps = per_val.select(
-        F.abs(
-            F.sum("c1").over(w) / F.lit(float(n1))
-            - F.sum("c2").over(w) / F.lit(float(n2))
-        ).alias("gap")
-    )
-    out = gaps.agg(F.max("gap").alias("d")).collect()[0]["d"]
-    return float(out)
+    ).persist()
+    try:
+        tot = per_val.agg(
+            F.sum("c1").alias("n1"),
+            F.sum("c2").alias("n2"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        ).collect()[0]
+        n1, n2 = tot["n1"] or 0, tot["n2"] or 0
+        if n1 == 0 or n2 == 0:
+            return float("nan")
+        vmin, vmax = float(tot["vmin"]), float(tot["vmax"])
+        if vmin == vmax:  # single distinct value: CDFs jump together
+            return 0.0
+        span = vmax - vmin
+        bucket = F.least(
+            F.floor((F.col("v") - F.lit(vmin)) / F.lit(span) * n_buckets),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        pv = per_val.withColumn("bucket", bucket)
+        # bucket totals -> driver prefix sums (tiny), exclusive offsets
+        btot = {
+            r["bucket"]: (r["t1"], r["t2"])
+            for r in pv.groupBy("bucket")
+            .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+            .collect()
+        }
+        off1, off2, acc1, acc2 = [], [], 0, 0
+        for i in range(n_buckets):
+            off1.append(acc1)
+            off2.append(acc2)
+            t = btot.get(i)
+            if t:
+                acc1 += t[0]
+                acc2 += t[1]
+        w = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        o1 = F.element_at(F.array(*[F.lit(x) for x in off1]), F.col("bucket") + 1)
+        o2 = F.element_at(F.array(*[F.lit(x) for x in off2]), F.col("bucket") + 1)
+        gaps = pv.select(
+            F.abs(
+                (F.sum("c1").over(w) + o1) / F.lit(float(n1))
+                - (F.sum("c2").over(w) + o2) / F.lit(float(n2))
+            ).alias("gap")
+        )
+        out = gaps.agg(F.max("gap").alias("d")).collect()[0]["d"]
+        return float(out)
+    finally:
+        per_val.unpersist()
 
 
 def ks_2samp_auto(

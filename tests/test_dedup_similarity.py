@@ -241,6 +241,28 @@ def test_textstats_expressions(spark):
     assert 0.0 <= out[1]["q"] <= 0.1  # empty doc scores ~0
 
 
+def test_lang_guess_tie_break_matches_langid(spark):
+    # equal marker hits across languages: both implementations must
+    # resolve the tie to the EARLIEST pool (ADVICE r01 low)
+    import pandas as pd
+    from pandas_dq_spark.functions.textstats import lang_guess_expr
+    from pandas_dq_spark.webtext.lm import LANG_MARKERS, langid_scores
+
+    en_m = sorted(LANG_MARKERS["en"])[0]
+    fr_m = sorted(LANG_MARKERS["fr"])[0]
+    zz_m = sorted(LANG_MARKERS["zz"])[0]
+    texts = [
+        f"{en_m} {fr_m}",        # 1-1 tie -> en (pool order)
+        f"{fr_m} {zz_m}",        # 1-1 tie -> fr
+        f"{fr_m} {fr_m} {en_m}",  # fr strictly ahead
+        "xqzzv bbnn",            # no markers -> und
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = [r[0] for r in df.select(lang_guess_expr(F.col("text"))).collect()]
+    exp = [langid_scores(t.split())[0] for t in texts]
+    assert got == exp == ["en", "fr", "fr", "und"]
+
+
 def test_multimodal_plumbing(spark):
     media = media_fixture(spark, 60)
     feats = extract_features(media)

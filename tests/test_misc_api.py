@@ -21,6 +21,23 @@ def test_write_to_html(spark, tmp_path):
     assert "<td>x</td>" in open(p2).read()
 
 
+def test_styled_html_gradient(spark, tmp_path):
+    # S8 inline-display analogue: background_gradient over Missing
+    # Values% + Segoe UI font (pandas_dq.py:535-539)
+    pdf = pd.DataFrame(
+        {"full": [1.0, 2.0, 3.0, 4.0], "holey": [1.0, np.nan, np.nan, 4.0]}
+    )
+    rep = pdq.build_dq_report(spark.createDataFrame(pdf))
+    path = rep.to_html(str(tmp_path / "styled.html"), styled=True)
+    content = open(path).read()
+    assert "Segoe UI" in content
+    assert "background-color:rgb(255,255,255)" in content  # 0% missing
+    assert "background-color:rgb(255,95,95)" in content  # max missing
+    # unstyled render has neither
+    plain = open(rep.to_html(str(tmp_path / "plain.html"))).read()
+    assert "background-color" not in plain
+
+
 def test_find_remove_columns_with_infinity(spark):
     pdf = pd.DataFrame(
         {

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pandas_dq_spark import FixDQ, classify_columns, dc_report
 from pandas_dq_spark.operators.dq_report import build_dq_report
@@ -117,6 +118,31 @@ def test_dq_report_parity_minmax_dtypes(ref, spark):
                 list(pdf.columns),
                 c,
             )
+
+
+def test_dq_report_parity_duplicate_columns(ref, spark):
+    # the reference's dup-column "drop" (pandas_dq.py:134) KEEPS only
+    # the 2nd+ occurrences of duplicated names — the report covers the
+    # SECOND `a` only.  Reproduce the quirk end-to-end.
+    pdf = pd.DataFrame(
+        [[1, 2, 3], [4, 5, 6], [7, 8, 9], [1, 5, 9]], columns=["a", "b", "a"]
+    )
+    ref_rep = _ref_dq(ref, pdf)
+    sdf = spark.createDataFrame(
+        pd.DataFrame(pdf.to_numpy(), columns=["a", "b", "a2"])
+    ).select(F.col("a"), F.col("b"), F.col("a2").alias("a"))
+    eng = build_dq_report(sdf)
+    assert eng.columns == list(ref_rep.index) == ["a"]
+    assert eng.issues["a"] == ref_rep.loc["a", "DQ Issue"]
+    assert eng.min_val["a"] == _cell_str(ref_rep.loc["a", "Minimum Value"])
+    assert eng.max_val["a"] == _cell_str(ref_rep.loc["a", "Maximum Value"])
+    assert str(eng.unique_pct["a"]) == str(ref_rep.loc["a", "Unique Values%"])
+    from pandas_dq_spark.operators.dq_report import BAD
+
+    assert (
+        "There are 1 duplicate columns in the dataset. De-Dup Index(['a'], dtype='object') using Fix_DQ."
+        in eng.summary[BAD]
+    )
 
 
 # ---------------------------------------------------------------- Fix_DQ
