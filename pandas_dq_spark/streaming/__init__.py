@@ -71,6 +71,43 @@ def streaming_quality_filter(
     return out.drop("__text_hash")
 
 
+def streaming_host_running_counts(
+    stream_df: DataFrame,
+    ts_col: str = "warc_ts",
+    url_col: str = "url",
+    watermark: str = "10 minutes",
+):
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    (the harness for semantics Spark's built-ins can't express): a
+    running per-host document counter that persists across
+    micro-batches in keyed group state.
+
+    State is one long per host — at 10^12 docs the state store holds
+    |hosts| rows, not |docs|; the host key shuffle is the only wide
+    operation, and skewed hosts are bounded because the state update
+    is O(batch rows) per key, not O(history)."""
+    import pandas as pd  # noqa: F811 - executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    host = F.parse_url(F.col(url_col), F.lit("HOST")).alias("host")
+    base = stream_df.withWatermark(ts_col, watermark).select(host)
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"host": [key[0]], "n_docs": [n]})
+
+    return base.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, n_docs long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def quality_filter_foreach_batch(cfg: QualityConfig | None = None):
     """``writeStream.foreachBatch`` adapter reusing the full BATCH
     pipeline (including the exact global dedup within each micro-batch)."""

@@ -42,6 +42,40 @@ def test_streaming_quality_filter(spark, tmp_path):
     assert any(r["keep"] for r in rows)
 
 
+def test_stateful_host_counts(spark, tmp_path):
+    # applyInPandasWithState: running per-host counts must accumulate
+    # across micro-batches (maxFilesPerTrigger=1 forces >=2 batches)
+    from pandas_dq_spark.streaming import streaming_host_running_counts
+
+    src, pdf = _write_pages(spark, tmp_path, n=240)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_host_running_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("host_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select host, max(n_docs) as n from host_counts group by host"
+    ).collect()
+    got = {r["host"]: r["n"] for r in rows}
+    exp = (
+        pdf["url"]
+        .map(lambda u: u.split("/")[2])
+        .value_counts()
+        .to_dict()
+    )
+    assert got == exp
+
+
 def test_foreach_batch_adapter(spark, tmp_path):
     src, pdf = _write_pages(spark, tmp_path, n=200)
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
