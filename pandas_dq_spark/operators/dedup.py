@@ -139,6 +139,7 @@ def _capped_bucket_pairs(
     bucket_keys: list[str],
     payload: str,
     max_bucket: int,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Candidate pairs from (bucket_keys, id, payload) rows with a
     hot-bucket guard.
@@ -151,8 +152,11 @@ def _capped_bucket_pairs(
     bucket instead of O(B^2).  Nothing is dropped: every member still
     gets exactly one verified comparison, and for the tight clusters
     that create hot buckets the representative matches all members.
-    Returns (id_a, id_b, <payload>_a, <payload>_b), id_a < id_b,
-    deduplicated across buckets.
+    Returns (id_a, id_b, <payload>_a, <payload>_b), id_a < id_b.
+    ``dedup_pairs=False`` skips the cross-bucket pair dedup — callers
+    that only need distinct dup IDs after verification avoid shuffling
+    the (possibly wide) payloads; duplicate pairs just re-verify
+    cheaply and collapse in the caller's final ``distinct``.
     """
     wb = Window.partitionBy(*bucket_keys)
     wbo = wb.orderBy("id")
@@ -188,7 +192,8 @@ def _capped_bucket_pairs(
         F.col("__rep_pay").alias(f"{payload}_a"),
         F.col(payload).alias(f"{payload}_b"),
     )
-    return pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
+    pairs = pairs_small.unionByName(pairs_big)
+    return pairs.dropDuplicates(["id_a", "id_b"]) if dedup_pairs else pairs
 
 
 def _split_identical(base: DataFrame, key: str) -> tuple[DataFrame, DataFrame]:
@@ -243,7 +248,12 @@ def minhash_lsh_duplicates(
     exploded = reps.select("id", "sig", F.explode(band_structs).alias("b")).select(
         "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    pairs = _capped_bucket_pairs(exploded, ["band", "bh"], "sig", max_bucket)
+    # no pair-level dedup: only distinct id_b is needed after the
+    # verification filter, so the wide signature payloads never
+    # shuffle a second time (duplicate band collisions just re-verify)
+    pairs = _capped_bucket_pairs(
+        exploded, ["band", "bh"], "sig", max_bucket, dedup_pairs=False
+    )
     match_frac = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
         F.lit(0),
@@ -331,7 +341,9 @@ def simhash_duplicates(
     exploded = reps.select("id", "sh", F.explode(band_cols).alias("b")).select(
         "id", "sh", "b.band", "b.key"
     )
-    pairs = _capped_bucket_pairs(exploded, ["band", "key"], "sh", max_bucket)
+    pairs = _capped_bucket_pairs(
+        exploded, ["band", "key"], "sh", max_bucket, dedup_pairs=False
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     confirmed = pairs.filter(hamming <= max_hamming)
     dup_ids = (
@@ -416,10 +428,13 @@ def embedding_near_duplicates(
         F.col("v"), planes=planes, seed=seed, dim=dim, df=df, vec_col=vec_col
     )
     base = base.withColumn("bucket", bucket)
+    # dedup AFTER the cosine filter on the slim (id,id,cos) projection
+    # — never shuffles the embedding vectors a second time
     pairs = (
-        _capped_bucket_pairs(base, ["bucket"], "v", max_bucket)
+        _capped_bucket_pairs(base, ["bucket"], "v", max_bucket, dedup_pairs=False)
         .withColumn("cos", cosine_expr(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
