@@ -202,22 +202,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a7_value_counts"] = a7_value_counts
 
     def a10_outlier_counts(spark, sf):
-        # the engine's fused exact-percentile path (plans/profile.
-        # quantiles): ONE tiny percentile row to the driver, then one
-        # conditional agg with literal bounds — never a full-column
-        # collect (driver-OOM-proof at any scale)
-        from pandas_dq_spark.plans.profile import quantiles
-
+        # exact percentile as a broadcast single-row subquery, fence
+        # count against it — ONE lazy plan / one job, and the driver
+        # never materializes anything but the final row (the bounds
+        # never leave the cluster; driver-OOM-proof at any scale)
         li = _t(spark, sf, "lineitem")
-        qs = quantiles(li, ["l_extendedprice"], [0.25, 0.75])["l_extendedprice"]
-        q1, q3 = qs[0], qs[1]
-        lb, ub = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
-        return li.agg(
-            F.sum(
-                ((F.col("l_extendedprice") < lb) | (F.col("l_extendedprice") > ub)).cast("long")
-            ).alias("n_outliers"),
-            F.round(F.lit(float(q1)), 6).alias("q1"),
-            F.round(F.lit(float(q3)), 6).alias("q3"),
+        c = F.col("l_extendedprice")
+        b = (
+            li.agg(F.percentile(c, F.array(F.lit(0.25), F.lit(0.75))).alias("q"))
+            .select(
+                F.col("q")[0].alias("q1"),
+                F.col("q")[1].alias("q3"),
+                (F.col("q")[0] - 1.5 * (F.col("q")[1] - F.col("q")[0])).alias("lb"),
+                (F.col("q")[1] + 1.5 * (F.col("q")[1] - F.col("q")[0])).alias("ub"),
+            )
+        )
+        return li.crossJoin(F.broadcast(b)).agg(
+            F.sum(((c < F.col("lb")) | (c > F.col("ub"))).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.round(F.first("q1"), 6).alias("q1"),
+            F.round(F.first("q3"), 6).alias("q3"),
         )
 
     q["a10_outlier_counts"] = a10_outlier_counts

@@ -260,6 +260,53 @@ def test_fix_dq_rare_after_impute_engine_semantics(spark):
     assert (eng2["cat"] == "missing").sum() == 7
 
 
+def test_fix_dq_transform_parity_nondefault_params(ref, spark, frames):
+    # quantile=None disables capping entirely (pandas_dq.py:1043-1045);
+    # dict num_fill_value falls back to -999 for unlisted columns
+    # (pandas_dq.py:744-746)
+    sdf, pdf = frames
+    kwargs = dict(
+        quantile=None,
+        num_fill_value={"num_missing": 7.5},
+        rare_threshold=0.02,
+        correlation_threshold=0.95,
+    )
+    ref_out = ref.Fix_DQ(**kwargs).fit(pdf).transform(pdf)
+    eng_out = FixDQ(**kwargs).fit(sdf).transform(sdf).toPandas()
+    assert list(eng_out.columns) == list(ref_out.columns)
+    sort_cols = [
+        c
+        for c in ref_out.columns
+        if ref_out[c].dtype.kind == "f" and ref_out[c].nunique() == len(ref_out)
+    ][:3]
+    r = ref_out.sort_values(sort_cols).reset_index(drop=True)
+    e = eng_out.sort_values(sort_cols).reset_index(drop=True)
+    for c in ref_out.columns:
+        if r[c].dtype.kind == "f":
+            np.testing.assert_allclose(
+                e[c].to_numpy(dtype=float),
+                r[c].to_numpy(dtype=float),
+                rtol=1e-9,
+                atol=1e-12,
+                err_msg=c,
+            )
+        else:
+            assert e[c].astype(str).tolist() == r[c].astype(str).tolist(), c
+
+
+def test_fix_dq_fit_parity_tighter_quantile(ref, spark, frames):
+    # different quantile moves every fitted upper bound; both engines
+    # must move identically (linear-interpolation percentile parity)
+    sdf, pdf = frames
+    rf = ref.Fix_DQ(quantile=0.75)
+    rf.fit(pdf)
+    ef = FixDQ(quantile=0.75)
+    ef.fit(sdf)
+    assert set(ef.state.upper_bounds_) == set(rf.upper_bounds_)
+    for c, ub in rf.upper_bounds_.items():
+        assert ef.state.upper_bounds_[c] == pytest.approx(float(ub), rel=1e-9), c
+
+
 # ---------------------------------------------------------- classify_columns
 
 
