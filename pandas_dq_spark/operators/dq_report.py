@@ -517,6 +517,12 @@ def build_dq_report(
     )
 
 
+# S5 sample-cap thresholds (pandas_dq.py:113-114): path inputs at or
+# above SAMPLE_CAP_ROWS are profiled on a ~SAMPLE_CAP_N random sample
+SAMPLE_CAP_ROWS = 1_000_000
+SAMPLE_CAP_N = 100_000
+
+
 def dq_report(
     data,
     target=None,
@@ -524,6 +530,8 @@ def dq_report(
     csv_engine: str = "pandas",
     verbose: int = 0,
     spark: SparkSession | None = None,
+    sample_cap_rows: int | None = None,
+    sample_cap_n: int | None = None,
 ) -> DataFrame:
     """Entry point matching the reference signature (pandas_dq.py:51).
 
@@ -532,13 +540,19 @@ def dq_report(
     """
     from ..sources.io import read_any
 
+    cap_rows = sample_cap_rows if sample_cap_rows is not None else SAMPLE_CAP_ROWS
+    cap_n = sample_cap_n if sample_cap_n is not None else SAMPLE_CAP_N
     if isinstance(data, str):
         spark = spark or SparkSession.getActiveSession()
         df = read_any(spark, data, csv_engine=csv_engine)
         # S5 sample-cap (pandas_dq.py:113-114): file inputs only
         total = df.count()
-        if total >= 1_000_000:
-            df = df.sample(fraction=100_000 / total, seed=99)
+        if total >= cap_rows:
+            print(
+                f"Alert: Detected dataframe size = {total} rows. "
+                f"Sample size = {cap_n} rows."
+            )
+            df = df.sample(fraction=cap_n / total, seed=99)
     else:
         df = data
     rep = build_dq_report(df, target=target)

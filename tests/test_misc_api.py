@@ -68,6 +68,24 @@ def test_feather_scan(spark, tmp_path):
     assert out.count() == 3 and out.columns == ["a", "b"]
 
 
+def test_sample_cap_on_path_input(spark, tmp_path, capsys):
+    # S5: a path input at/above the cap is profiled on a random sample
+    # (thresholds lowered for test scale; DataFrame inputs never sample)
+    p = str(tmp_path / "big.parquet")
+    pdf = pd.DataFrame({"a": range(5000), "b": [float(i % 7) for i in range(5000)]})
+    spark.createDataFrame(pdf).write.parquet(p)
+    out = pdq.dq_report(p, spark=spark, sample_cap_rows=5000, sample_cap_n=500)
+    rows = {r["column_name"]: r for r in out.collect()}
+    captured = capsys.readouterr().out
+    assert "Sample size = 500 rows" in captured
+    # the ID check ran on ~500 sampled rows, still flags `a` as unique
+    assert "Possible ID column" in rows["a"]["dq_issue"]
+    # below the cap: full data, no alert
+    out2 = pdq.dq_report(p, spark=spark, sample_cap_rows=10_000)
+    assert "Sample size" not in capsys.readouterr().out
+    assert out2.count() == 2
+
+
 def test_csv_scan(spark, tmp_path):
     p = str(tmp_path / "t.csv")
     pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_csv(p, index=False)
