@@ -296,6 +296,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a17_ks_statistic"] = a17_ks_statistic
 
+    def a17b_ks_many(spark, sf):
+        # the fused multi-column KS (one long-form job for ALL columns,
+        # operators/ks.ks_2samp_many) vs per-column DuckDB windows
+        from pandas_dq_spark.operators.ks import ks_2samp_many
+
+        ev = _t(spark, sf, "events")
+        a = ev.filter("event_id % 2 = 0")
+        b = ev.filter("event_id % 2 = 1")
+        stats = ks_2samp_many(a, b, ["value", "user_id"])
+        return spark.createDataFrame(
+            [(c, round(stats[c], 9)) for c in ["value", "user_id"]],
+            "column string, ks double",
+        )
+
+    q["a17b_ks_many"] = a17b_ks_many
+
     def a18_set_except(spark, sf):
         c = _t(spark, sf, "customer")
         s = _t(spark, sf, "supplier")
@@ -993,8 +1009,32 @@ def _dc_report_events_sql() -> str:
     return "\nUNION ALL\n".join(rows)
 
 
+def _ks_window_sql(col: str) -> str:
+    """Exact two-sample KS (even vs odd event_id) for one column via
+    window cumulative CDFs — the DuckDB mirror of ks_2samp_many."""
+    return f"""
+      (WITH u AS (
+         SELECT {col} AS v, CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS tag
+         FROM events WHERE {col} IS NOT NULL AND NOT isnan({col}::DOUBLE)
+       ), pv AS (
+         SELECT v, sum(tag) AS c1, sum(1 - tag) AS c2 FROM u GROUP BY v
+       ), g AS (
+         SELECT abs(
+           sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / (SELECT sum(c1) FROM pv)
+           - sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / (SELECT sum(c2) FROM pv)) AS gap
+         FROM pv
+       )
+       SELECT round(max(gap), 9) FROM g)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "a17b_ks_many": f"""
+            SELECT 'value' AS column, {_ks_window_sql('value')} AS ks
+            UNION ALL
+            SELECT 'user_id', {_ks_window_sql('user_id')}
+        """,
         "dc_report_events": _dc_report_events_sql(),
         "fixdq_transform": _fixdq_transform_sql(),
         "dq_report_orders": _dq_report_orders_sql(),

@@ -104,6 +104,26 @@ def test_string_length_stats(messy):
     assert st.columns["id_str"].avg_len == pytest.approx(9.0)
 
 
+def test_engine_mode_approx_distinct(messy):
+    # engine mode (exact_distinct=False): approx_count_distinct rides
+    # the same fused pass; 1% rsd keeps it within a few % of exact
+    sdf, pdf = messy
+    exact = profile(sdf)
+    approx = profile(sdf, exact_distinct=False)
+    assert approx.exact is False
+    for c in pdf.columns:
+        e = exact.columns[c].n_distinct
+        a = approx.columns[c].n_distinct
+        if e <= 100:
+            assert a == e, c  # HLL is exact at tiny cardinalities
+        else:
+            assert abs(a - e) / e < 0.05, (c, e, a)
+    # everything else identical between modes
+    for c in pdf.columns:
+        assert approx.columns[c].n_missing == exact.columns[c].n_missing
+        assert approx.columns[c].min_val == exact.columns[c].min_val
+
+
 def test_float_nan_counts_as_missing(spark):
     import pandas as pd
 
