@@ -86,6 +86,32 @@ def test_sample_cap_on_path_input(spark, tmp_path, capsys):
     assert out2.count() == 2
 
 
+def test_iceberg_surface(spark, tmp_path):
+    # config builder is pure; the runtime jar is absent here so
+    # availability is False, table targets raise the explicit error,
+    # and path targets route to the parquet dynamic-overwrite sink
+    from pandas_dq_spark.sources.iceberg import (
+        iceberg_available,
+        iceberg_conf,
+        write_pages,
+    )
+
+    conf = iceberg_conf("/tmp/wh", catalog="c1")
+    assert conf["spark.sql.catalog.c1.warehouse"] == "/tmp/wh"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+    assert iceberg_available(spark) is False
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["a", "b"], "bucket": [0, 1]})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="Iceberg runtime"):
+        write_pages(df, "c1.db.pages", ["bucket"])
+    sink = write_pages(df, str(tmp_path / "pages"), ["bucket"])
+    assert sink == "parquet"
+    assert spark.read.parquet(str(tmp_path / "pages")).count() == 2
+
+
 def test_csv_scan(spark, tmp_path):
     p = str(tmp_path / "t.csv")
     pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_csv(p, index=False)
