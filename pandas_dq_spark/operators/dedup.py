@@ -200,9 +200,12 @@ def _split_identical(base: DataFrame, key: str) -> tuple[DataFrame, DataFrame]:
     """(representatives, duplicate_ids) by exact equality of ``key``.
 
     Groups with identical signatures are trivially near-dups of each
-    other; collapsing them BEFORE banding removes the main source of
-    quadratic hot buckets (exact boilerplate copies) at the cost of
-    one shuffle on the signature."""
+    other; collapsing them BEFORE banding shrinks everything
+    downstream proportionally to the exact-dup rate, at the cost of
+    one shuffle on the signature.  Opt-in (``collapse_identical``):
+    the hot-bucket star cap already bounds identical-doc floods, and
+    pipelines that run exact dedup first (webtext.pipeline does) gain
+    nothing from paying this shuffle again."""
     w = Window.partitionBy(key).orderBy("id")
     marked = base.withColumn("__rn", F.row_number().over(w))
     reps = marked.filter(F.col("__rn") == 1).drop("__rn")
@@ -220,18 +223,25 @@ def minhash_lsh_duplicates(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket: int = 200,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup marking.
 
     Returns (id_col, is_near_dup).  A doc is a near-dup if an LSH band
     collides with a smaller-id doc AND the full-signature match
-    fraction >= threshold (signature Jaccard estimate).  Identical
-    signatures collapse before banding; buckets larger than
-    ``max_bucket`` degrade to star comparisons (_capped_bucket_pairs),
-    so no bucket ever goes quadratic."""
+    fraction >= threshold (signature Jaccard estimate).  Buckets larger
+    than ``max_bucket`` degrade to star comparisons
+    (_capped_bucket_pairs), so no bucket ever goes quadratic —
+    including floods of byte-identical docs.  ``collapse_identical``
+    additionally dedups identical signatures before banding (worth one
+    extra shuffle on corpora with a high exact-dup rate where exact
+    dedup has NOT already run)."""
     rows = num_hashes // bands
     base = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
-    reps, ident_dups = _split_identical(base, "sig")
+    if collapse_identical:
+        reps, ident_dups = _split_identical(base, "sig")
+    else:
+        reps, ident_dups = base, None
     band_structs = F.array(
         *[
             F.struct(
@@ -262,11 +272,10 @@ def minhash_lsh_duplicates(
     confirmed = pairs.withColumn("match_frac", match_frac).filter(
         F.col("match_frac") >= threshold
     )
-    dup_ids = (
-        confirmed.select(F.col("id_b").alias("id"))
-        .unionByName(ident_dups)
-        .distinct()
-    )
+    dup_ids = confirmed.select(F.col("id_b").alias("id"))
+    if ident_dups is not None:
+        dup_ids = dup_ids.unionByName(ident_dups)
+    dup_ids = dup_ids.distinct()
     return df.join(
         dup_ids.withColumn("is_near_dup", F.lit(True)),
         df[id_col] == dup_ids["id"],
@@ -316,16 +325,21 @@ def simhash_duplicates(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket: int = 200,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: band the 64 bits into ``bands`` 16-bit keys —
     any pair within hamming distance < bands shares >= 1 exact band
     (pigeonhole), so bucketing on bands finds all candidates; verify
-    with popcount.  Identical hashes collapse pre-banding and buckets
-    above ``max_bucket`` degrade to star comparisons."""
+    with popcount.  Buckets above ``max_bucket`` degrade to star
+    comparisons; ``collapse_identical`` optionally dedups identical
+    hashes pre-banding (see minhash_lsh_duplicates)."""
     base = df.select(
         F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
     ).persist()  # compute the UDF once, not on both join sides
-    reps, ident_dups = _split_identical(base, "sh")
+    if collapse_identical:
+        reps, ident_dups = _split_identical(base, "sh")
+    else:
+        reps, ident_dups = base, None
     width = 64 // bands
     band_cols = F.array(
         *[
@@ -346,11 +360,10 @@ def simhash_duplicates(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     confirmed = pairs.filter(hamming <= max_hamming)
-    dup_ids = (
-        confirmed.select(F.col("id_b").alias("id"))
-        .unionByName(ident_dups)
-        .distinct()
-    )
+    dup_ids = confirmed.select(F.col("id_b").alias("id"))
+    if ident_dups is not None:
+        dup_ids = dup_ids.unionByName(ident_dups)
+    dup_ids = dup_ids.distinct()
     return df.join(
         dup_ids.withColumn("is_near_dup", F.lit(True)),
         df[id_col] == dup_ids["id"],

@@ -115,17 +115,24 @@ def test_minhash_hot_bucket_bounded(spark):
     assert all(d < 10_000 for d in dup_ids)  # no false positives
 
 
-def test_identical_signature_collapse(spark):
-    # byte-identical docs collapse pre-banding: all non-min ids flagged
+def test_identical_docs_flagged_both_modes(spark):
+    # byte-identical doc floods must be fully flagged with bounded
+    # work both via the star cap alone (default) and via the opt-in
+    # pre-banding collapse (collapse_identical=True)
     rows = [(i, "the exact same document text repeated many times over") for i in range(800)]
     rows += [(5000, "a completely different and unrelated sentence here")]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
-    out = minhash_lsh_duplicates(df, "doc_id", threshold=0.9, max_bucket=10)
-    dup_ids = {r["doc_id"] for r in out.filter("is_near_dup").collect()}
-    assert dup_ids == set(range(1, 800))
-    out2 = simhash_duplicates(df, "doc_id", max_bucket=10)
-    dup2 = {r["doc_id"] for r in out2.filter("is_near_dup").collect()}
-    assert dup2 == set(range(1, 800))
+    for collapse in (False, True):
+        out = minhash_lsh_duplicates(
+            df, "doc_id", threshold=0.9, max_bucket=10, collapse_identical=collapse
+        )
+        dup_ids = {r["doc_id"] for r in out.filter("is_near_dup").collect()}
+        assert dup_ids == set(range(1, 800)), collapse
+        out2 = simhash_duplicates(
+            df, "doc_id", max_bucket=10, collapse_identical=collapse
+        )
+        dup2 = {r["doc_id"] for r in out2.filter("is_near_dup").collect()}
+        assert dup2 == set(range(1, 800)), collapse
 
 
 def test_embedding_hot_bucket_star(spark):
