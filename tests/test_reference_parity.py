@@ -319,6 +319,58 @@ def test_classify_columns_parity(ref, spark, frames):
         assert sorted(eng_roles[k]) == sorted(ref_roles[k]), k
 
 
+def test_compare_unique_parity(ref, spark, frames):
+    sdf, pdf = frames
+    a_p, b_p = pdf.iloc[:1500], pdf.iloc[1500:]
+    ref_out = ref.compare_unique(a_p, b_p, "cat_rare")
+    from pandas_dq_spark import compare_unique
+
+    eng_out = compare_unique(
+        spark.createDataFrame(a_p), spark.createDataFrame(b_p), "cat_rare"
+    )
+    assert eng_out["unique_count_in_df1"] == ref_out["unique_count_in_df1"]
+    assert eng_out["unique_count_in_df2"] == ref_out["unique_count_in_df2"]
+    assert sorted(eng_out["diff_between_df1_df2"]) == sorted(
+        ref_out["diff_between_df1_df2"]
+    )
+    assert sorted(eng_out["diff_between_df2_df1"]) == sorted(
+        ref_out["diff_between_df2_df1"]
+    )
+
+
+def test_schema_checker_parity(ref, spark):
+    # same schema dict against both checkers: identical error rows
+    # (byte-for-byte mismatch strings) and identical coerced dtypes
+    from pandas_dq_spark import DataSchemaChecker
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 2, 3],
+            "b": [1.5, 2.5, 3.5],
+            "c": ["2024-01-01", "2024-01-02", "2024-01-03"],
+            "d": ["x", "y", "z"],
+        }
+    )
+    schema = {"a": "float64", "b": "float", "c": "date", "d": "string"}
+    rc = ref.DataSchemaChecker(schema)
+    ref_out = rc.fit(pdf).transform(pdf)
+    eng = DataSchemaChecker(schema)
+    sdf = spark.createDataFrame(pdf)
+    eng_out = eng.fit(sdf).transform(sdf)
+    # error rows: same columns flagged with the same message text
+    ref_errs = {r["column"]: r["data_dtype_mismatch"] for _, r in rc.error_df_.iterrows()}
+    eng_errs = {r[0]: r[3] for r in eng.error_df_.rows}
+    assert set(eng_errs) == set(ref_errs)
+    for c in ref_errs:
+        assert eng_errs[c] == ref_errs[c], c
+    # coerced values match (date column compared as timestamps)
+    got = eng_out.toPandas().sort_values("a").reset_index(drop=True)
+    exp = ref_out.sort_values("a").reset_index(drop=True)
+    assert got["a"].tolist() == exp["a"].tolist()
+    assert [str(v) for v in got["c"]] == [str(v) for v in exp["c"]]
+    assert str(exp["a"].dtype) == "float64" and str(got["a"].dtype) == "float64"
+
+
 # ---------------------------------------------------------------- dc_report
 
 
