@@ -10,7 +10,12 @@ from .operators.classify import classify_columns
 from .operators.dc_report import build_dc_report, dc_report
 from .operators.dq_report import DQReport, build_dq_report, dq_report
 from .operators.fix_dq import FixDQ, FixDQState
-from .operators.ks import ks_2samp_arrays, ks_2samp_auto, ks_2samp_df
+from .operators.ks import (
+    ks_2samp_arrays,
+    ks_2samp_auto,
+    ks_2samp_df,
+    ks_2samp_many,
+)
 from .operators.schema_checker import DataSchemaChecker
 from .operators.mixed_types import mixed_type_report
 from .operators.setops import (
@@ -72,6 +77,7 @@ __all__ = [
     "ks_2samp_arrays",
     "ks_2samp_auto",
     "ks_2samp_df",
+    "ks_2samp_many",
     "left_subtract",
     "profile",
     "quantiles",

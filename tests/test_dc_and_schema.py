@@ -49,6 +49,21 @@ def test_ks_identical_is_zero(spark):
     assert ks_2samp_df(d, "v", d, "v") == 0.0
 
 
+def test_ks_range_buckets_edge_cases(spark):
+    # range-bucketed cumsum must be exact for ANY bucket count,
+    # including values landing exactly on bucket boundaries, heavy
+    # ties, and a single bucket (degenerate = global window)
+    rng = np.random.default_rng(5)
+    x = np.concatenate([rng.integers(0, 16, 300).astype(float), [0.0, 16.0]])
+    y = np.concatenate([rng.integers(0, 16, 200).astype(float) + 0.5, [16.0]])
+    d1 = spark.createDataFrame(pd.DataFrame({"v": x}))
+    d2 = spark.createDataFrame(pd.DataFrame({"v": y}))
+    exp = _ks_exact_reference(x, y)
+    for nb in (1, 3, 16, 256):
+        got = ks_2samp_df(d1, "v", d2, "v", n_buckets=nb)
+        assert got == pytest.approx(exp, abs=1e-12), nb
+
+
 def test_ks_auto_both_paths_agree(spark):
     # driver-finish path (distinct <= threshold) and the distributed
     # window fallback must both match the exact reference
