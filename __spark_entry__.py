@@ -14,7 +14,12 @@ order-insensitive value hash is stable across engines.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# package lives next to this file — importable regardless of the
+# driver's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
