@@ -149,9 +149,14 @@ def _capped_bucket_pairs(
     boilerplate pages landing in one band hash is the common web-corpus
     pathology — degrade to a STAR comparison: every member is paired
     only with the bucket's min-id representative, so work is O(B) per
-    bucket instead of O(B^2).  Nothing is dropped: every member still
-    gets exactly one verified comparison, and for the tight clusters
-    that create hot buckets the representative matches all members.
+    bucket instead of O(B^2).  The trade-off, stated precisely: every
+    member still gets one verified comparison, and tight clusters (the
+    usual cause of hot buckets) all match the representative, but a
+    pair of similar docs that BOTH differ from the representative is
+    only found if they co-occur in another (small) bucket — minhash/
+    simhash get that retry from their multiple bands; single-bucket
+    schemes (hyperplane LSH) do not, so size ``max_bucket`` generously
+    there.
     Returns (id_a, id_b, <payload>_a, <payload>_b), id_a < id_b.
     ``dedup_pairs=False`` skips the cross-bucket pair dedup — callers
     that only need distinct dup IDs after verification avoid shuffling
@@ -433,7 +438,14 @@ def embedding_near_duplicates(
     """Cosine near-dup via random-hyperplane LSH buckets + exact
     verification inside buckets (zip_with dot product).  Buckets above
     ``max_bucket`` degrade to star comparisons vs the min-id member —
-    the boilerplate-cluster guard for embedding space."""
+    the boilerplate-cluster guard for embedding space.  NOTE: each
+    vector lives in exactly ONE bucket (no multi-band retry), so in an
+    oversized bucket only rep-vs-member pairs are verified; pairs
+    where both sides differ from the representative are missed.  The
+    default cap (2000 -> ~2M comparisons/bucket) is sized so this only
+    engages on genuinely degenerate buckets; raise it if near-dup
+    recall inside huge clusters matters more than the quadratic
+    bound."""
     from .similarity import cosine_expr, hyperplane_bucket
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

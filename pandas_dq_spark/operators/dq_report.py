@@ -462,16 +462,20 @@ def build_dq_report(
     # pandas dtype-promotion quirk: the reference builds the min/max
     # frames by .loc enlargement over ONLY the eligible columns, then
     # `data_types.join(minimum_values)` reindexes over ALL columns
-    # (pandas_dq.py:206-232).  Any ineligible column therefore injects
-    # NaN and upcasts the whole column to float64 — as does any float
-    # value — so every int/bool cell renders as "499.0"/"1.0".  With
-    # no NaN and no float the ints stay int64 (bools coerce to 0/1
-    # when mixed with ints, stay True/False when alone).  Verified
-    # against the actual reference via tests/reference_shim.py.
-    minmax_as_float = len(minmax_eligible) < len(cols) or any(
-        state.columns[c].kind == "float" for c in minmax_eligible
-    )
+    # (pandas_dq.py:206-232).  The enlargement frame's dtype comes
+    # from the eligible KINDS ({bool} -> bool; bool+int -> int64 with
+    # bools coerced to 0/1; any float -> float64); the join then
+    # injects NaN for every ineligible column, which upcasts
+    # int64 -> float64 ("499.0"/"1.0" strings) but bool -> OBJECT,
+    # leaving True/False untouched.  Truth table verified against the
+    # actual reference via tests/reference_shim.py: bool+string ->
+    # 'False'/'True'; bool+int(+string) -> '0.0'/'1.0'; int-only ->
+    # '1'/'500'.
     minmax_kinds = {state.columns[c].kind for c in minmax_eligible}
+    minmax_as_float = minmax_kinds != {"bool"} and (
+        len(minmax_eligible) < len(cols)
+        or any(state.columns[c].kind == "float" for c in minmax_eligible)
+    )
     for c in cols:
         cp = state.columns[c]
         data_type[c] = pandas_dtype_name(df.schema[c].dataType)

@@ -272,12 +272,11 @@ class FixDQ:
             col = F.col(c)
             if c in st.missing_cols_:
                 if kind == "string":
-                    fill = (
-                        self.cat_fill_value.get(c, "missing")
-                        if isinstance(self.cat_fill_value, dict)
-                        else self.cat_fill_value
-                    )
-                    col = F.when(col.isNull(), F.lit(fill)).otherwise(col)
+                    # same resolution as imputed_str above (the rare
+                    # denominator must see exactly this fill)
+                    col = F.when(
+                        col.isNull(), F.lit(self._string_fill(c))
+                    ).otherwise(col)
                 elif kind in ("int", "float"):
                     fill = (
                         self.num_fill_value.get(c, -999)

@@ -321,6 +321,10 @@ def value_counts(
     # pandas tie-break: values with EQUAL counts keep first-appearance
     # order (hashtable insertion).  Reproduce with min(monotonic id) —
     # monotone in scan order for parquet / createDataFrame inputs.
+    # When the input's lineage contains a shuffle (e.g. the dedup
+    # before dq_report) partition row order is not scan order, so the
+    # value itself is the FINAL tie-break: the result stays fully
+    # deterministic even where first-appearance order is undefined.
     d = df.select(F.col(col), F.monotonically_increasing_id().alias("__pos"))
     if drop_null:
         d = d.filter(F.col(col).isNotNull())
@@ -328,7 +332,9 @@ def value_counts(
     counts = d.groupBy(col).agg(
         F.count(F.lit(1)).alias("count"), F.min("__pos").alias("__first")
     )
-    rows = counts.orderBy(F.col("count").desc(), F.col("__first")).collect()
+    rows = counts.orderBy(
+        F.col("count").desc(), F.col("__first"), F.col(col)
+    ).collect()
     if normalize:
         total = sum(r["count"] for r in rows) or 1
         return [(r[col], r["count"] / total) for r in rows]

@@ -49,6 +49,20 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_FILE_EXTS = (".parquet", ".pq", ".csv", ".json", ".orc", ".arrow", ".feather")
+
+
+def _is_table_identifier(target: str) -> bool:
+    """'cat.db.table' is a catalog identifier; paths (any separator)
+    and dotted FILENAMES ('out.parquet') are not."""
+    return (
+        "." in target
+        and "/" not in target
+        and "\\" not in target
+        and not target.lower().endswith(_FILE_EXTS)
+    )
+
+
 def write_pages(
     df: DataFrame,
     target: str,
@@ -57,13 +71,15 @@ def write_pages(
 ) -> str:
     """Write the pipeline output to ``target``.
 
-    ``target`` containing a dot ('cat.db.table') selects the Iceberg
-    `writeTo` path — `overwritePartitions()` (or `create()` on first
-    write); anything else is treated as a parquet path and uses the
-    dynamic-partition-overwrite sink.  Returns which sink ran
-    ('iceberg' | 'parquet') so callers/tests can assert the routing.
+    A dotted catalog identifier ('cat.db.table' — no path separator,
+    no file extension) selects the Iceberg `writeTo` path —
+    `overwritePartitions()` (or `create()` on first write); anything
+    else (absolute/relative paths, bare filenames like 'out.parquet')
+    is a parquet path and uses the dynamic-partition-overwrite sink.
+    Returns which sink ran ('iceberg' | 'parquet') so callers/tests
+    can assert the routing.
     """
-    if "." in target and "/" not in target:
+    if _is_table_identifier(target):
         if not iceberg_available(df.sparkSession):
             raise RuntimeError(
                 "Iceberg runtime not on the classpath — add "

@@ -257,13 +257,21 @@ def run_pipeline(
     df = df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
     )
-    verdict = duplicate_urls(df).persist()
-    verdict.count()  # materialize: every batch reuses the cached verdict
-    result = quality_filter(df, cfg, dup_verdict=verdict)
 
     done = completed_buckets(out_dir) if resume else set()
     all_buckets = list(range(cfg.n_buckets))
     todo = [b for b in all_buckets if b not in done]
+    if not todo:
+        # fully-resumed run: never touch the input (the dedup shuffle
+        # alone would be hours at 10^12 docs)
+        return {
+            "processed_buckets": [],
+            "skipped_buckets": sorted(done),
+            "out_dir": out_dir,
+        }
+    verdict = duplicate_urls(df).persist()
+    verdict.count()  # materialize: every batch reuses the cached verdict
+    result = quality_filter(df, cfg, dup_verdict=verdict)
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     main_path = os.path.join(out_dir, "docs")
     side_path = os.path.join(out_dir, "sidecar")

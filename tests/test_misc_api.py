@@ -86,7 +86,7 @@ def test_sample_cap_on_path_input(spark, tmp_path, capsys):
     assert out2.count() == 2
 
 
-def test_iceberg_surface(spark, tmp_path):
+def test_iceberg_surface(spark, tmp_path, monkeypatch):
     # config builder is pure; the runtime jar is absent here so
     # availability is False, table targets raise the explicit error,
     # and path targets route to the parquet dynamic-overwrite sink
@@ -110,6 +110,16 @@ def test_iceberg_surface(spark, tmp_path):
     sink = write_pages(df, str(tmp_path / "pages"), ["bucket"])
     assert sink == "parquet"
     assert spark.read.parquet(str(tmp_path / "pages")).count() == 2
+    # a dotted FILENAME is a parquet path, not a catalog identifier
+    assert write_pages(df, str(tmp_path / "plain.parquet"), ["bucket"]) == "parquet"
+    assert spark.read.parquet(str(tmp_path / "plain.parquet")).count() == 2
+    from pandas_dq_spark.sources.iceberg import _is_table_identifier
+
+    assert _is_table_identifier("cat.db.pages")
+    assert not _is_table_identifier("plain.parquet")
+    assert not _is_table_identifier("dir/with.dots/x")
+    assert not _is_table_identifier("out.feather")
+    assert not _is_table_identifier("nodots")
 
 
 def test_csv_scan(spark, tmp_path):

@@ -105,6 +105,15 @@ def test_dq_report_parity_minmax_dtypes(ref, spark):
         pd.DataFrame({"i": [1, 2, 3, 4, 500], "j": [10, 20, 30, 40, 50]}),
         pd.DataFrame({"i": [1, 2, 3, 4, 500], "s": list("abcde")}),
         pd.DataFrame({"b": [True, False, True, False, True], "i": [1, 2, 3, 4, 5]}),
+        # bool-only eligible set + ineligible col: pandas upcasts the
+        # joined column to OBJECT (not float64) -> True/False survive
+        pd.DataFrame({"b": [True, False, True, False, True], "s": list("abcde")}),
+        pd.DataFrame(
+            {"b": [True, False, True, False, True], "i": [1, 2, 3, 4, 5], "s": list("abcde")}
+        ),
+        pd.DataFrame(
+            {"b": [True, False, True, False, True], "f": [1.5, 2.5, 3.5, 4.5, 5.5], "s": list("abcde")}
+        ),
     ]
     for pdf in cases:
         ref_rep = _ref_dq(ref, pdf)

@@ -167,6 +167,22 @@ def test_resume_produces_identical_output(spark, tmp_path):
     assert completed_buckets(part_dir) == set(range(8))
 
 
+def test_fully_resumed_run_touches_nothing(spark, tmp_path):
+    # resuming a COMPLETED run must return immediately without the
+    # dedup shuffle or any input scan (code-review r02 finding)
+    cfg = QualityConfig(n_buckets=4)
+    out_dir = str(tmp_path / "done")
+    sdf = pages_df(spark, 80)
+    run_pipeline(sdf, out_dir, cfg, resume=False)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    r = run_pipeline(sdf, out_dir, cfg, resume=True)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert r["processed_buckets"] == []
+    assert set(r["skipped_buckets"]) == set(range(4))
+    assert after == before  # zero Spark jobs ran
+
+
 def test_batch_filter_prunes_before_udf_and_verdict_cached(spark, tmp_path):
     # the per-batch bucket filter must reach the parquet scan (below
     # the Arrow UDF pass), and the dedup verdict must come from cache
