@@ -29,6 +29,7 @@ from .plans.profile import (
     duplicate_row_count,
     profile,
     quantiles,
+    quantiles_bucketed,
 )
 from .session import get_spark
 
@@ -81,4 +82,5 @@ __all__ = [
     "left_subtract",
     "profile",
     "quantiles",
+    "quantiles_bucketed",
 ]

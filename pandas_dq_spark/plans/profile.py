@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -285,6 +285,106 @@ def quantiles(
         return {}
     row = df.agg(*aggs).collect()[0].asDict()
     return {c: list(row[c]) if row[c] is not None else None for c in cols}
+
+
+def quantiles_bucketed(
+    df: DataFrame, col: str, probs: list[float], n_buckets: int = 256
+) -> list[float]:
+    """EXACT linear-interpolation quantiles without the single-reducer
+    value multiset that Spark's exact ``percentile`` carries (its
+    partial state is every value — a scale-killer on wide columns).
+
+    Plan: per-value counts (one shuffle, map-side combined) -> range
+    buckets -> bucket totals prefix-summed on the driver (<=
+    ``n_buckets`` rows) -> the <=2 order statistics each requested
+    quantile needs are located inside single buckets via per-bucket
+    cumulative windows and collected.  Work per reducer is bounded by
+    the bucket's distinct values; nothing holds the full column.
+
+    Matches pandas ``.quantile`` / numpy linear interpolation exactly
+    (index = (n-1)*p; v = lo + frac*(hi-lo)).  Nulls/NaNs dropped.
+    """
+    v = F.when(null_or_nan(F.col(col), "float"), None).otherwise(
+        F.col(col).cast("double")
+    )
+    per_val = (
+        df.select(v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .count()
+        .persist()
+    )
+    try:
+        tot = per_val.agg(
+            F.sum("count").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).collect()[0]
+        n = int(tot["n"] or 0)
+        if n == 0:
+            return [None for _ in probs]
+        vmin, vmax = float(tot["lo"]), float(tot["hi"])
+        if n == 1 or vmin == vmax:
+            return [vmin for _ in probs]
+        # order-statistic indices needed (0-based), with interpolation
+        wanted: dict[int, None] = {}
+        locs = []
+        for p in probs:
+            pos = (n - 1) * p
+            k0, k1 = int(math.floor(pos)), int(math.ceil(pos))
+            wanted[k0] = None
+            wanted[k1] = None
+            locs.append((k0, k1, pos - math.floor(pos)))
+        span = vmax - vmin
+        bucket = F.least(
+            F.floor((F.col("v") - F.lit(vmin)) / F.lit(span) * n_buckets),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        pv = per_val.withColumn("bucket", bucket)
+        btot = {
+            r["bucket"]: r["t"]
+            for r in pv.groupBy("bucket").agg(F.sum("count").alias("t")).collect()
+        }
+        # exclusive prefix: rows BEFORE each bucket
+        offsets, acc = {}, 0
+        for i in range(n_buckets):
+            offsets[i] = acc
+            acc += btot.get(i, 0)
+        # map each wanted index to its bucket, then fetch inside it
+        by_bucket: dict[int, list[int]] = {}
+        for k in wanted:
+            bi = max(b for b in offsets if offsets[b] <= k and btot.get(b, 0) > 0
+                     and k < offsets[b] + btot.get(b, 0))
+            by_bucket.setdefault(bi, []).append(k)
+        w = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        off_expr = F.element_at(
+            F.array(*[F.lit(offsets[i]) for i in range(n_buckets)]),
+            F.col("bucket") + 1,
+        )
+        ranked = pv.filter(
+            F.col("bucket").isin(list(by_bucket))
+        ).select(
+            "v",
+            (off_expr + F.sum("count").over(w)).alias("cum"),  # rows <= v
+            (off_expr + F.sum("count").over(w) - F.col("count")).alias("prev"),
+        )
+        ks = sorted(wanted)
+        cond = None
+        for k in ks:
+            c = (F.col("prev") <= k) & (F.col("cum") > k)
+            cond = c if cond is None else (cond | c)
+        rows = ranked.filter(cond).collect()
+        val_at: dict[int, float] = {}
+        for r in rows:
+            for k in ks:
+                if r["prev"] <= k < r["cum"]:
+                    val_at[k] = float(r["v"])
+        return [
+            val_at[k0] + frac * (val_at[k1] - val_at[k0])
+            for k0, k1, frac in locs
+        ]
+    finally:
+        per_val.unpersist()
 
 
 def correlation_matrix(df: DataFrame, cols: list[str]) -> dict[tuple[str, str], float]:

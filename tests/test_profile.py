@@ -104,6 +104,33 @@ def test_string_length_stats(messy):
     assert st.columns["id_str"].avg_len == pytest.approx(9.0)
 
 
+def test_quantiles_bucketed_matches_numpy(spark):
+    # distributed exact quantile (no single-reducer value multiset)
+    # must equal numpy/pandas linear interpolation for any bucket
+    # count, incl. ties, NaNs, and boundary-landing values
+    import pandas as pd
+
+    from pandas_dq_spark.plans.profile import quantiles_bucketed
+
+    rng = np.random.default_rng(17)
+    x = np.concatenate(
+        [rng.normal(10, 3, 900), rng.integers(0, 5, 100).astype(float), [0.0, 20.0]]
+    )
+    pdf = pd.DataFrame({"v": x})
+    pdf.loc[rng.choice(len(pdf), 50, replace=False), "v"] = np.nan
+    sdf = spark.createDataFrame(pdf)
+    probs = [0.0, 0.13, 0.25, 0.5, 0.75, 0.87, 0.99, 1.0]
+    exp = pdf["v"].quantile(probs).tolist()
+    for nb in (1, 7, 256):
+        got = quantiles_bucketed(sdf, "v", probs, n_buckets=nb)
+        assert got == pytest.approx(exp, abs=1e-12), nb
+    # degenerate: single value / all-null
+    one = spark.createDataFrame(pd.DataFrame({"v": [3.5, 3.5, 3.5]}))
+    assert quantiles_bucketed(one, "v", [0.25, 0.75]) == [3.5, 3.5]
+    nul = spark.createDataFrame(pd.DataFrame({"v": [np.nan, np.nan]}))
+    assert quantiles_bucketed(nul, "v", [0.5]) == [None]
+
+
 def test_engine_mode_approx_distinct(messy):
     # engine mode (exact_distinct=False): approx_count_distinct rides
     # the same fused pass; 1% rsd keeps it within a few % of exact
