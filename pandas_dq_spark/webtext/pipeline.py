@@ -106,6 +106,7 @@ def quality_filter(
     scrub: bool = True,
     check_extraction: bool = True,
     dup_verdict: DataFrame | None = None,
+    udf_row_counter=None,
 ) -> DataFrame:
     """Full pipeline: returns the input columns plus stats, lang_pred/
     lang_score, ppl, is_dup, issues, dq_issue, keep, scrubbed_text,
@@ -124,7 +125,7 @@ def quality_filter(
         )
     out = add_stats(out, cfg)
     # one Arrow pass: langid + perplexity + token-level stats
-    scores_udf = make_text_scores_udf(cfg.stopwords)
+    scores_udf = make_text_scores_udf(cfg.stopwords, row_counter=udf_row_counter)
     out = out.withColumn("__ts", scores_udf(F.col("text")))
     for fld in (
         "lang_pred",
@@ -237,6 +238,7 @@ def run_pipeline(
     resume: bool = True,
     buckets_per_batch: int | None = None,
     max_batches: int | None = None,
+    udf_row_counter=None,
 ) -> dict:
     """Resumable batch run: processes bucket groups, writes the main
     output partitioned by bucket (dynamic partition overwrite => a
@@ -250,7 +252,16 @@ def run_pipeline(
     the rules/scrub projections, and the dedup join: a batch pays the
     scan plus ITS OWN rows only.  The global dedup verdict (which must
     see all buckets) is computed once, persisted, and reused by every
-    batch — one (hash,url) shuffle for the whole run."""
+    batch — one (hash,url) shuffle for the whole run.
+
+    The expensive plan (Arrow UDF pass + rules + scrub) is evaluated
+    exactly ONCE per batch, by the docs write.  The metrics sidecar is
+    then aggregated from the JUST-COMMITTED parquet (filtered to the
+    batch's buckets — partition-pruned), which both avoids a second
+    Arrow pass over the batch (VERDICT r02 item 1) and verifies the
+    committed bytes rather than the in-memory plan.  The tiny per-
+    bucket aggregate rows are collected once and written back from the
+    driver, so the sidecar costs one scan of the batch's output."""
     cfg = cfg or QualityConfig()
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -271,7 +282,9 @@ def run_pipeline(
         }
     verdict = duplicate_urls(df).persist()
     verdict.count()  # materialize: every batch reuses the cached verdict
-    result = quality_filter(df, cfg, dup_verdict=verdict)
+    result = quality_filter(
+        df, cfg, dup_verdict=verdict, udf_row_counter=udf_row_counter
+    )
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     main_path = os.path.join(out_dir, "docs")
     side_path = os.path.join(out_dir, "sidecar")
@@ -279,31 +292,46 @@ def run_pipeline(
     batch = buckets_per_batch or len(todo) or 1
     processed = []
     n_batches = 0
-    for i in range(0, len(todo), batch):
-        if max_batches is not None and n_batches >= max_batches:
-            break  # simulated kill / budget stop — manifest stays behind
-        n_batches += 1
-        group = todo[i : i + batch]
-        part = result.filter(F.col("bucket").isin(group))
-        part.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("bucket").parquet(main_path)
-        side = metrics_sidecar(part, cfg).withColumn(
-            "run_group", F.lit(i // batch)
-        )
-        side.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("bucket").parquet(side_path)
-        side_rows = {r["bucket"]: r.asDict() for r in side.collect()}
-        for b in group:
-            meta = side_rows.get(b, {"bucket": b, "n_docs": 0})
-            meta["bucket"] = b
-            with open(
-                os.path.join(_manifest_dir(out_dir), f"bucket_{b}.json"), "w"
-            ) as fh:
-                json.dump({k: _js(v) for k, v in meta.items()}, fh)
-        processed.extend(group)
-    verdict.unpersist()
+    try:
+        for i in range(0, len(todo), batch):
+            if max_batches is not None and n_batches >= max_batches:
+                break  # simulated kill / budget stop — manifest stays behind
+            n_batches += 1
+            group = todo[i : i + batch]
+            part = result.filter(F.col("bucket").isin(group))
+            part.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("bucket").parquet(main_path)
+            # sidecar from the committed bytes, NOT from `part` (which
+            # would re-run the Arrow UDF pass): partition-pruned read of
+            # just this batch's buckets, one agg, collect the <=|group|
+            # rows, write them back from the driver
+            committed = spark.read.parquet(main_path).filter(
+                F.col("bucket").isin(group)
+            )
+            side = metrics_sidecar(committed, cfg).withColumn(
+                "run_group", F.lit(i // batch)
+            )
+            side_schema = side.schema
+            rows = side.collect()
+            spark.createDataFrame(rows, side_schema).coalesce(1).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "bucket"
+            ).parquet(side_path)
+            side_rows = {r["bucket"]: r.asDict() for r in rows}
+            for b in group:
+                meta = side_rows.get(b, {"bucket": b, "n_docs": 0})
+                meta["bucket"] = b
+                with open(
+                    os.path.join(_manifest_dir(out_dir), f"bucket_{b}.json"), "w"
+                ) as fh:
+                    json.dump({k: _js(v) for k, v in meta.items()}, fh)
+            processed.extend(group)
+    finally:
+        # a failed batch write must not leave the verdict pinned in the
+        # long-lived session's cache (ADVICE r02)
+        verdict.unpersist()
     return {
         "processed_buckets": processed,
         "skipped_buckets": sorted(done),

@@ -62,7 +62,10 @@ TEXT_SCORES_SCHEMA = T.StructType(
     ]
 )
 
-def make_text_scores_udf(stopwords: tuple):
+def make_text_scores_udf(stopwords: tuple, row_counter=None):
+    """``row_counter`` (an optional Spark accumulator) counts rows the
+    UDF actually processes — the pipeline tests use it to assert the
+    Arrow pass runs exactly ONCE per row per run (no double compute)."""
     import math
 
     from .lm import LOG_BIGRAM, LOG_UNSEEN, LOG_UNSEEN_CTX, MARKER_LANG, _LANG_ORDER
@@ -89,6 +92,8 @@ def make_text_scores_udf(stopwords: tuple):
         # ONE fused per-token loop (token stats + langid counts +
         # precomputed-log perplexity): produces bit-identical numbers
         # to lm.langid_scores/lm.perplexity, ~3x fewer python ops
+        if row_counter is not None:
+            row_counter.add(len(texts))
         out = {f.name: [] for f in TEXT_SCORES_SCHEMA.fields}
         memo_get = memo.get
         lb_get, lu_get = LOG_BIGRAM.get, LOG_UNSEEN_CTX.get

@@ -183,6 +183,31 @@ def test_fully_resumed_run_touches_nothing(spark, tmp_path):
     assert after == before  # zero Spark jobs ran
 
 
+def test_arrow_pass_runs_once_per_row_per_run(spark, tmp_path):
+    # VERDICT r02 item 1: the metrics sidecar must come from the
+    # committed parquet, not re-evaluate the expensive plan.  The UDF
+    # row counter must therefore see each input row exactly ONCE even
+    # across multiple batches (before the fix it saw each row twice:
+    # once for the docs write, once for the sidecar agg).
+    n_docs = 240
+    cfg = QualityConfig(n_buckets=8)
+    sdf = pages_df(spark, n_docs)
+    counter = spark.sparkContext.accumulator(0)
+    out_dir = str(tmp_path / "once")
+    r = run_pipeline(
+        sdf, out_dir, cfg, resume=False, buckets_per_batch=3,
+        udf_row_counter=counter,
+    )
+    assert len(r["processed_buckets"]) == 8
+    assert counter.value == n_docs
+    # sidecar still correct (it now reads the committed bytes)
+    side = pd.concat(
+        [spark.read.parquet(os.path.join(out_dir, "sidecar")).toPandas()]
+    )
+    assert int(side["n_docs"].sum()) == n_docs
+    assert (side["n_kept"] + side["n_dropped"]).equals(side["n_docs"])
+
+
 def test_batch_filter_prunes_before_udf_and_verdict_cached(spark, tmp_path):
     # the per-batch bucket filter must reach the parquet scan (below
     # the Arrow UDF pass), and the dedup verdict must come from cache
