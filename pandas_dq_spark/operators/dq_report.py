@@ -30,6 +30,7 @@ from ..plans.profile import (
     duplicate_row_count,
     null_or_nan,
     profile,
+    rare_categories_fused,
     value_counts,
 )
 from .classify import classify_from_profile
@@ -300,13 +301,10 @@ def build_dq_report(
     kind_of = {f.name: col_kind(f.dataType) for f in df.schema.fields}
     outlier_counts = iqr_outlier_counts(df, bounds, kind_of)
 
-    # ---- stage 4: rare categories per cat col (pandas_dq.py:317-336) ----
-    rare_by_col: dict[str, list] = {}
-    for c in cat_cols:
-        vc = value_counts(df, c, normalize=True)
-        rare = [v for v, freq in vc if freq < rare_threshold]
-        if rare:
-            rare_by_col[c] = rare
+    # ---- stage 4: rare categories, ALL cat cols in ONE long-form job
+    # (pandas_dq.py:317-336; fused plan shared with FixDQ.transform).
+    # Only counts and <=10-value lists ever reach the driver.
+    rare_info = rare_categories_fused(df, cat_cols, rare_threshold, list_cap=10)
 
     # ---- assembly (driver-side, byte-parity strings) ----
     dq1 = _Appender()
@@ -352,11 +350,15 @@ def build_dq_report(
         dq1.add(GOOD, "There are no columns with missing values in the dataset")
 
     if len(cat_cols) > 0:
-        for c, rare in rare_by_col.items():
-            if len(rare) <= 10:
-                dq2.add(c, f"{len(rare)} rare categories: {rare}. Group them into a single category or drop the categories.")
+        for c in cat_cols:
+            info = rare_info.get(c)
+            if not info:
+                continue
+            n_rare, rare_vals = info
+            if n_rare <= 10:
+                dq2.add(c, f"{n_rare} rare categories: {rare_vals}. Group them into a single category or drop the categories.")
             else:
-                dq2.add(c, f"{len(rare)} rare categories: Too many to list. Group them into a single category or drop the categories.")
+                dq2.add(c, f"{n_rare} rare categories: Too many to list. Group them into a single category or drop the categories.")
     else:
         dq1.add(GOOD, f"There are no categorical columns with rare categories (< {100 * rare_threshold:.0f} percent) in this dataset")
 

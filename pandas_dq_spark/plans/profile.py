@@ -387,6 +387,76 @@ def quantiles_bucketed(
         per_val.unpersist()
 
 
+def rare_categories_fused(
+    df: DataFrame,
+    cols: list[str],
+    threshold: float,
+    list_cap: int = 10,
+) -> dict[str, tuple[int, list | None]]:
+    """A7 rare-category detection for MANY columns in ONE long-form job
+    (VERDICT r02 item 2 — the plan FixDQ.transform already uses at
+    operators/fix_dq.py:229-265, ported to the report path).
+
+    Returns ``{col: (n_rare, values_or_None)}`` — ``values`` (in pandas
+    ``value_counts`` order: count desc, first-appearance, value) is
+    materialized ONLY when ``n_rare <= list_cap``, so the driver never
+    collects more than ``list_cap * n_cols`` values no matter how many
+    distinct values a (mis-classified) column has; columns above the
+    cap report their exact rare count with ``None``.
+
+    Columns are grouped by Spark dtype so collected values keep their
+    Python types (a float32 categorical's rares must interpolate into
+    the issue string as floats, not quoted strings).  The common
+    all-string case is exactly one job.
+    """
+    out: dict[str, tuple[int, list | None]] = {}
+    if not cols:
+        return out
+    by_type: dict[str, list[str]] = {}
+    for c in cols:
+        by_type.setdefault(df.schema[c].dataType.simpleString(), []).append(c)
+    for group in by_type.values():
+        long = df.select(
+            F.monotonically_increasing_id().alias("__pos"),
+            F.posexplode(F.array(*[F.col(c) for c in group])).alias("ci", "val"),
+        ).filter(F.col("val").isNotNull())
+        counts = (
+            long.groupBy("ci", "val")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("__pos").alias("first"))
+            .persist()
+        )
+        try:
+            tot = {
+                r["ci"]: r["t"]
+                for r in counts.groupBy("ci").agg(F.sum("cnt").alias("t")).collect()
+            }
+            tot_expr = F.element_at(
+                F.array(*[F.lit(tot.get(i, 1)) for i in range(len(group))]),
+                F.col("ci") + 1,
+            )
+            rare = counts.filter((F.col("cnt") / tot_expr) < F.lit(threshold))
+            sizes = {
+                r["ci"]: r["k"]
+                for r in rare.groupBy("ci").agg(F.count(F.lit(1)).alias("k")).collect()
+            }
+            small = [i for i, k in sizes.items() if 0 < k <= list_cap]
+            lists: dict[int, list] = {i: [] for i in small}
+            if small:
+                for r in (
+                    rare.filter(F.col("ci").isin(small))
+                    .orderBy("ci", F.col("cnt").desc(), F.col("first"), F.col("val"))
+                    .collect()
+                ):
+                    lists[r["ci"]].append(r["val"])
+            for i, c in enumerate(group):
+                k = sizes.get(i, 0)
+                if k:
+                    out[c] = (int(k), lists.get(i))
+        finally:
+            counts.unpersist()
+    return out
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> dict[tuple[str, str], float]:
     """A12: all k(k-1)/2 pairwise Pearson correlations in ONE agg.
 
