@@ -252,13 +252,15 @@ def build_dq_report(
         if col_kind(f.dataType) in ("float", "int")
     ]
     extra = []
-    for c in num_candidates:
-        cd = F.when(null_or_nan(F.col(c), col_kind(df.schema[c].dataType)), None).otherwise(
-            F.col(c).cast("double")
-        )
-        extra.append(
-            F.percentile(cd, F.array(F.lit(0.25), F.lit(0.75))).alias(f"q__{c}")
-        )
+    if exact:
+        # parity mode: exact percentile fused into the single agg pass
+        for c in num_candidates:
+            cd = F.when(null_or_nan(F.col(c), col_kind(df.schema[c].dataType)), None).otherwise(
+                F.col(c).cast("double")
+            )
+            extra.append(
+                F.percentile(cd, F.array(F.lit(0.25), F.lit(0.75))).alias(f"q__{c}")
+            )
     for i, a in enumerate(num_candidates):
         for b in num_candidates[i + 1 :]:
             ca = F.when(null_or_nan(F.col(a), col_kind(df.schema[a].dataType)), None).otherwise(F.col(a).cast("double"))
@@ -267,6 +269,14 @@ def build_dq_report(
 
     state = profile(df, exact_distinct=exact, extra_aggs=extra)
     n = state.n_rows
+    if not exact and num_candidates:
+        # engine mode: range-bucketed exact quantiles — same numbers,
+        # no single-reducer percentile state (VERDICT r02 item 3)
+        from ..plans.profile import quantiles_bucketed_many
+
+        bq = quantiles_bucketed_many(df, num_candidates, [0.25, 0.75])
+        for c in num_candidates:
+            state.extras[f"q__{c}"] = bq.get(c)
 
     # roles computed over predictors only (reference drops target first,
     # pandas_dq.py:158-161)

@@ -58,6 +58,7 @@ class FixDQ:
         correlation_threshold: float = 0.9,
         yj_sample_cap: int = 200_000,
         rare_isin_cap: int = 10_000,
+        engine_mode: bool = False,
     ):
         self.quantile = quantile
         self.cat_fill_value = cat_fill_value
@@ -65,6 +66,13 @@ class FixDQ:
         self.rare_threshold = rare_threshold
         self.correlation_threshold = correlation_threshold
         self.yj_sample_cap = yj_sample_cap
+        # engine_mode=True swaps the fused exact `percentile` (whose
+        # partial aggregation state is the column's full value multiset
+        # — a single-reducer scale-killer) for the range-bucketed exact
+        # quantile plan (plans.profile.quantiles_bucketed_many).  Same
+        # numbers (exact linear interpolation incl. +-inf handling);
+        # parity mode keeps the fused single-pass agg.
+        self.engine_mode = engine_mode
         # rare sets up to this size are applied as an isin literal;
         # larger sets (high-cardinality columns, where almost every
         # value is rare) switch to a fully-distributed window plan so
@@ -88,15 +96,16 @@ class FixDQ:
         # fused agg: profile + fit quantiles + pairwise corr in one pass
         p = self.quantile if self.quantile is not None else 0.99
         extra = []
-        for c in float_cols:
-            # pandas .quantile keeps +-inf in the order statistics; only
-            # NaN/null are skipped — so do NOT filter inf here
-            cd = F.when(null_or_nan(F.col(c), "float"), None).otherwise(
-                F.col(c).cast("double")
-            )
-            extra.append(
-                F.percentile(cd, F.array(F.lit(p), F.lit(1 - p))).alias(f"q__{c}")
-            )
+        if not self.engine_mode:
+            for c in float_cols:
+                # pandas .quantile keeps +-inf in the order statistics;
+                # only NaN/null are skipped — so do NOT filter inf here
+                cd = F.when(null_or_nan(F.col(c), "float"), None).otherwise(
+                    F.col(c).cast("double")
+                )
+                extra.append(
+                    F.percentile(cd, F.array(F.lit(p), F.lit(1 - p))).alias(f"q__{c}")
+                )
         for i, a in enumerate(num_cols):
             for b in num_cols[i + 1 :]:
                 ca = F.when(null_or_nan(F.col(a), kinds[a]), None).otherwise(F.col(a).cast("double"))
@@ -104,6 +113,12 @@ class FixDQ:
                 extra.append(F.corr(ca, cb).alias(f"c__{a}__{b}"))
         state = profile(X, extra_aggs=extra)
         n = state.n_rows
+        if self.engine_mode and float_cols:
+            from ..plans.profile import quantiles_bucketed_many
+
+            bq = quantiles_bucketed_many(X, float_cols, [p, 1 - p])
+            for c in float_cols:
+                state.extras[f"q__{c}"] = bq.get(c)
 
         st.missing_cols_ = [c for c in X.columns if state.columns[c].n_missing > 0]
         drop_missing = [

@@ -97,6 +97,48 @@ def test_value_counts_normalize_excludes_nulls(spark):
     assert vc["b"] == pytest.approx(1 / 3)
 
 
+def test_quantiles_bucketed_many_matches_fused_exact(messy):
+    # VERDICT r02 item 3: the engine-mode quantile path (range-bucketed,
+    # no single-reducer percentile state) must equal the fused exact
+    # `percentile` on the messy fixture — incl. NaN columns and the
+    # +-inf column (pandas keeps inf in the order statistics)
+    from pandas_dq_spark.plans.profile import quantiles_bucketed_many
+
+    sdf, pdf = messy
+    cols = [
+        "num_missing",
+        "num_mostly_missing",
+        "num_inf",
+        "num_outlier",
+        "num_skewed_pos",
+        "int_plain",
+    ]
+    probs = [0.13, 0.25, 0.5, 0.75, 0.87]
+    fused = quantiles(sdf, cols, probs)
+    bucketed = quantiles_bucketed_many(sdf, cols, probs, n_buckets=32)
+    for c in cols:
+        for a, b in zip(fused[c], bucketed[c]):
+            if math.isnan(a) if isinstance(a, float) else False:
+                assert math.isnan(b)
+            else:
+                assert b == pytest.approx(a, abs=1e-12), c
+
+
+def test_fixdq_engine_mode_same_state(spark, messy):
+    # engine_mode swaps the quantile physical plan only — fitted state
+    # (upper bounds, transformers, drop lists) must be identical
+    from pandas_dq_spark.operators.fix_dq import FixDQ
+
+    sdf, _ = messy
+    a = FixDQ().fit(sdf).state
+    b = FixDQ(engine_mode=True).fit(sdf).state
+    assert a.drop_cols_ == b.drop_cols_
+    assert set(a.upper_bounds_) == set(b.upper_bounds_)
+    for c in a.upper_bounds_:
+        assert b.upper_bounds_[c] == pytest.approx(a.upper_bounds_[c], abs=1e-9), c
+    assert set(a.col_transformers_) == set(b.col_transformers_)
+
+
 def test_rare_categories_fused_matches_per_column(spark):
     import pandas as pd
 
