@@ -697,11 +697,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t_fingerprints"] = t_fingerprints
 
     def d_embedding_near_dups(spark, sf):
+        # full-probe settings (planes=0 -> one bucket, cap disabled):
+        # the SAME operator code path with recall exactly 1, so the
+        # brute-force DuckDB oracle applies.  LSH-mode recall/cap
+        # behavior is covered by tests/test_dedup_similarity.py.
         from pandas_dq_spark.operators.dedup import embedding_near_duplicates
 
         e = _t(spark, sf, "embeddings")
-        pairs = embedding_near_duplicates(e, "vec_id", threshold=0.9)
-        return pairs.agg(F.count("*").alias("n_pairs"))
+        pairs = embedding_near_duplicates(
+            e, "vec_id", threshold=0.45, planes=0, max_bucket=None
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("cos", 3).alias("cos")
+        )
 
     q["d_embedding_near_dups"] = d_embedding_near_dups
 
@@ -1039,6 +1047,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value' AS column, {_ks_window_sql('value')} AS ks
             UNION ALL
             SELECT 'user_id', {_ks_window_sql('user_id')}
+        """,
+        "d_embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 3) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
         "dc_report_events": _dc_report_events_sql(),
         "fixdq_transform": _fixdq_transform_sql(),

@@ -92,20 +92,11 @@ def hyperplane_bucket(
     return bucket
 
 
-def cosine_topk_lsh(
-    df: DataFrame,
-    query_vec,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    planes: int = 12,
-    seed: int = 42,
-    multiprobe_hamming: int = 2,
-) -> DataFrame:
-    """ANN top-k: probe the query's LSH bucket plus all buckets within
-    ``multiprobe_hamming`` bit flips (recall knob).  At scale the
-    bucket column is precomputed+partitioned so this is a partition-
-    pruned scan of a tiny fraction of the table."""
+def _probe_buckets(
+    query_vec, planes: int, seed: int, multiprobe_hamming: int
+) -> list[int]:
+    """The query's LSH bucket plus every bucket within
+    ``multiprobe_hamming`` bit flips (the recall knob)."""
     q = np.asarray(query_vec, dtype=float)
     H = _hyperplanes(len(q), planes, seed)
     qbits = int(sum((1 << p) for p in range(planes) if H[p] @ q > 0))
@@ -117,13 +108,104 @@ def cosine_topk_lsh(
         for p1 in range(planes):
             for p2 in range(p1 + 1, planes):
                 probes.add(qbits ^ (1 << p1) ^ (1 << p2))
+    return sorted(int(b) for b in probes)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    seed: int = 42,
+    multiprobe_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k with the bucket computed at scan time (no index).
+
+    Every query still scans the full table (the bucket filter prunes
+    rows, not files) — fine for one-off queries; for repeated queries
+    at scale build the partitioned index once with
+    :func:`write_ann_index` and probe it with
+    :func:`cosine_topk_lsh_indexed`, which turns the probe into a
+    partition-pruned scan that never opens non-probed buckets."""
+    q = np.asarray(query_vec, dtype=float)
+    probes = _probe_buckets(q, planes, seed, multiprobe_hamming)
     bucket = hyperplane_bucket(
         F.col(vec_col), planes=planes, seed=seed, dim=len(q)
     )
     sim = cosine_expr(F.col(vec_col), _lit_vec(q))
     return (
         df.withColumn("__bucket", bucket)
-        .filter(F.col("__bucket").isin(*[int(b) for b in probes]))
+        .filter(F.col("__bucket").isin(probes))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> dict:
+    """Materialize the LSH index: the table written as parquet
+    PARTITIONED BY the hyperplane bucket, with the hashing parameters
+    in a ``_ann_meta.json`` sidecar (underscore-prefixed: invisible to
+    Spark's file listing).
+
+    The bucket is a narrow projection computed in the scan stage — the
+    write is shuffle-free (each input task appends to its buckets'
+    directories).  Queries against the index are partition-pruned
+    scans: only the probed buckets' files are ever opened, so query
+    cost is proportional to the probed fraction (~2^-planes per
+    bucket), not the table size."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    bucket = hyperplane_bucket(F.col(vec_col), planes=planes, seed=seed, dim=dim)
+    df.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    meta = {"planes": planes, "seed": seed, "dim": dim}
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def cosine_topk_lsh_indexed(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k over a :func:`write_ann_index` table — the scale path
+    (VERDICT r02 item 6): ``bucket`` is a PARTITION column, so the
+    probe filter is a partition filter and non-probed buckets are never
+    read (assert ``PartitionFilters`` in the scan's explain)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    q = np.asarray(query_vec, dtype=float)
+    if len(q) != meta["dim"]:
+        raise ValueError(
+            f"query dim {len(q)} != index dim {meta['dim']} ({path})"
+        )
+    probes = _probe_buckets(q, meta["planes"], meta["seed"], multiprobe_hamming)
+    sim = cosine_expr(F.col(vec_col), _lit_vec(q))
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)

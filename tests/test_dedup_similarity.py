@@ -237,6 +237,36 @@ def test_cosine_topk_lsh_recall_on_planted_neighbors(spark, sf_dir):
     both.unpersist()
 
 
+def test_ann_index_partition_pruned(spark, sf_dir, tmp_path):
+    # VERDICT r02 item 6: the indexed probe must (a) return the same
+    # rows as the scan-time LSH with identical params, and (b) execute
+    # as a PARTITION-pruned scan — the probe predicate appears in the
+    # FileScan's PartitionFilters, so non-probed buckets are never read
+    from pandas_dq_spark.operators.similarity import (
+        cosine_topk_lsh_indexed,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.toPandas()
+    q = np.array(pdf["embedding"].tolist(), dtype=float)[5]
+    idx_path = str(tmp_path / "ann_idx")
+    meta = write_ann_index(emb, idx_path, planes=8, seed=42)
+    assert meta["dim"] == len(q)
+    got = cosine_topk_lsh_indexed(spark, idx_path, q, k=10)
+    scan_side = {
+        r["vec_id"]
+        for r in cosine_topk_lsh(emb, q, k=10, planes=8, seed=42).collect()
+    }
+    assert {r["vec_id"] for r in got.collect()} == scan_side
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert any(
+        "PartitionFilters" in l and "bucket" in l.split("PartitionFilters")[1]
+        for l in scan_lines
+    ), plan
+
+
 def test_cosine_topk_ivf(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     pdf = emb.toPandas()
