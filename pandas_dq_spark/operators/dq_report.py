@@ -560,7 +560,11 @@ def dq_report(
     cap_n = sample_cap_n if sample_cap_n is not None else SAMPLE_CAP_N
     if isinstance(data, str):
         spark = spark or SparkSession.getActiveSession()
-        df = read_any(spark, data, csv_engine=csv_engine)
+        df = read_any(spark, data, csv_engine=csv_engine, on_unsupported="return_input")
+        if isinstance(df, str):
+            # reference parity: unsupported extension prints and
+            # returns the input unchanged (pandas_dq.py:108-111)
+            return data
         # S5 sample-cap (pandas_dq.py:113-114): file inputs only
         total = df.count()
         if total >= cap_rows:

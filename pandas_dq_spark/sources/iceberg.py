@@ -51,16 +51,21 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 _FILE_EXTS = (".parquet", ".pq", ".csv", ".json", ".orc", ".arrow", ".feather")
 
+_IDENT = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
 
 def _is_table_identifier(target: str) -> bool:
-    """'cat.db.table' is a catalog identifier; paths (any separator)
-    and dotted FILENAMES ('out.parquet') are not."""
-    return (
-        "." in target
-        and "/" not in target
-        and "\\" not in target
-        and not target.lower().endswith(_FILE_EXTS)
-    )
+    """Only ``catalog.db.table`` — exactly two dots, every segment a
+    plain identifier, no known file extension — selects the Iceberg
+    sink.  Paths (any separator) and dotted FILENAMES ('out.parquet',
+    'out.backup', 'data.v2') are parquet paths (ADVICE r02: a one-dot
+    filename must never raise 'Iceberg runtime missing')."""
+    if "/" in target or "\\" in target:
+        return False
+    if target.lower().endswith(_FILE_EXTS):
+        return False
+    parts = target.split(".")
+    return len(parts) == 3 and all(_IDENT.match(p) for p in parts)
 
 
 def write_pages(

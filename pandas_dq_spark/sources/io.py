@@ -12,8 +12,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_any(spark: SparkSession, path: str, csv_engine: str = "pandas") -> DataFrame:
-    """S1-S4 extension dispatch (pandas_dq.py:80-111)."""
+def read_any(
+    spark: SparkSession,
+    path: str,
+    csv_engine: str = "pandas",
+    on_unsupported: str = "raise",
+) -> DataFrame | str:
+    """S1-S4 extension dispatch (pandas_dq.py:80-111).
+
+    On an unsupported extension the reference prints and RETURNS THE
+    INPUT UNCHANGED (pandas_dq.py:108-111); ``on_unsupported=
+    "return_input"`` reproduces that (used by ``dq_report`` for
+    fidelity), while the library-level default raises — a path string
+    silently flowing on as a DataFrame is a bug factory."""
     ext = os.path.splitext(path)[-1].lower()
     if ext == ".csv":
         return spark.read.csv(path, header=True, inferSchema=True)
@@ -27,7 +38,10 @@ def read_any(spark: SparkSession, path: str, csv_engine: str = "pandas") -> Data
 
         tbl = feather.read_table(path)
         return spark.createDataFrame(tbl.to_pandas())
-    print(f"{ext} not supported. Returning nothing.")
+    # byte-identical reference message (pandas_dq.py:109)
+    print("    Unsupported file format. Please use CSV, parquet, feather or arrow.")
+    if on_unsupported == "return_input":
+        return path
     raise ValueError(f"Unsupported file extension: {ext}")
 
 

@@ -86,6 +86,52 @@ def test_sample_cap_on_path_input(spark, tmp_path, capsys):
     assert out2.count() == 2
 
 
+def test_unsupported_extension_reference_parity(spark, capsys):
+    # pandas_dq.py:108-111: print the exact message and return the
+    # input unchanged; the library-level default raises instead
+    import pytest
+
+    from pandas_dq_spark.sources.io import read_any
+
+    out = pdq.dq_report("somefile.xyz", spark=spark)
+    assert out == "somefile.xyz"
+    captured = capsys.readouterr().out
+    assert (
+        "    Unsupported file format. Please use CSV, parquet, feather or arrow."
+        in captured
+    )
+    with pytest.raises(ValueError):
+        read_any(spark, "somefile.xyz")
+    assert read_any(spark, "somefile.xyz", on_unsupported="return_input") == "somefile.xyz"
+
+
+def test_compare_unique_scale_guard(spark):
+    # VERDICT r02 item 8: ~1M mostly-disjoint distinct values must
+    # yield exact difference COUNTS without materializing the sets
+    from pyspark.sql import functions as F
+
+    from pandas_dq_spark import compare_unique
+
+    a = spark.range(1_000_000).select(F.col("id").alias("k"))
+    b = spark.range(900_000, 1_100_000).select(F.col("id").alias("k"))
+    out = compare_unique(a, b, "k", max_collect=10_000)
+    assert out["unique_count_in_df1"] == 1_000_000
+    assert out["unique_count_in_df2"] == 200_000
+    assert out["diff_count_df1_df2"] == 900_000
+    assert out["diff_count_df2_df1"] == 100_000
+    assert out["diff_between_df1_df2"] is None  # above cap: not collected
+    assert out["diff_between_df2_df1"] is None
+    # small differences still return the actual values
+    small = compare_unique(
+        spark.range(10).select(F.col("id").alias("k")),
+        spark.range(5, 12).select(F.col("id").alias("k")),
+        "k",
+    )
+    assert sorted(small["diff_between_df1_df2"]) == [0, 1, 2, 3, 4]
+    assert sorted(small["diff_between_df2_df1"]) == [10, 11]
+    assert small["diff_count_df1_df2"] == 5
+
+
 def test_iceberg_surface(spark, tmp_path, monkeypatch):
     # config builder is pure; the runtime jar is absent here so
     # availability is False, table targets raise the explicit error,
@@ -120,6 +166,11 @@ def test_iceberg_surface(spark, tmp_path, monkeypatch):
     assert not _is_table_identifier("dir/with.dots/x")
     assert not _is_table_identifier("out.feather")
     assert not _is_table_identifier("nodots")
+    # ADVICE r02: dotted filenames with unknown extensions are paths
+    assert not _is_table_identifier("out.backup")
+    assert not _is_table_identifier("data.v2")
+    assert not _is_table_identifier("a.b.c.d")  # too many segments
+    assert write_pages(df, str(tmp_path / "out.backup"), ["bucket"]) == "parquet"
 
 
 def test_csv_scan(spark, tmp_path):
