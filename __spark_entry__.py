@@ -713,6 +713,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["d_embedding_near_dups"] = d_embedding_near_dups
 
+    def j_ngram_jaccard(spark, sf):
+        # exhaustive mode (recall exactly 1) so the brute-force DuckDB
+        # shingle oracle applies; LSH-candidate mode is covered by
+        # tests/test_dedup_similarity.py
+        from pandas_dq_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = _t(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(
+            d, "doc_id", shingle_n=3, threshold=0.5, exhaustive=True
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("jaccard", 3).alias("jac")
+        )
+
+    q["j_ngram_jaccard"] = j_ngram_jaccard
+
     def mm_media_features(spark, sf):
         from pandas_dq_spark.operators.multimodal import extract_features, media_fixture
 
@@ -1057,6 +1073,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "j_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM toks WHERE len(w) >= 3
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(a.s || b.s)) AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(jac, 3) AS jac FROM p WHERE jac >= 0.5
         """,
         "dc_report_events": _dc_report_events_sql(),
         "fixdq_transform": _fixdq_transform_sql(),

@@ -438,17 +438,31 @@ def ngram_jaccard_pairs(
     bucket_hashes: int = 8,
     max_bucket: int = 200,
     stats: dict | None = None,
+    exhaustive: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-generated candidate pairs: a
     cheap 8-hash MinHash banding proposes candidates, exact
     array_intersect/array_union verifies.  Never O(n^2): buckets above
-    ``max_bucket`` degrade to star comparisons vs the min-id member."""
+    ``max_bucket`` degrade to star comparisons vs the min-id member.
+
+    ``exhaustive=True`` skips candidate generation and verifies EVERY
+    pair (recall exactly 1) — the verification/oracle mode for small
+    inputs; it is quadratic by construction, never use it at scale."""
     sh = word_shingles(text_col, shingle_n)
     base = (
         df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .persist()
     )
+    if exhaustive:
+        ex_a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        ex_b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        return (
+            ex_a.join(ex_b, F.col("id_a") < F.col("id_b"))
+            .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     withsig = minhash_signatures(df, id_col, text_col, bucket_hashes, shingle_n)
     buckets = withsig.select(
         "id", F.explode(F.col("sig")).alias("bh"), F.lit(0).alias("pay")

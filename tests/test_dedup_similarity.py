@@ -92,6 +92,18 @@ def test_ngram_jaccard_pairs(spark):
     for r in pairs:
         if r["id_b"] == r["id_a"] + 2000:
             assert r["jaccard"] == pytest.approx(1.0)
+    # exhaustive mode (recall exactly 1, the oracle path) must agree
+    # with LSH-candidate mode on this fixture (candidates cover all
+    # true pairs here), and is a superset guarantee in general
+    exh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.5, exhaustive=True
+        ).collect()
+    }
+    assert set(exh) == got
+    for r in pairs:
+        assert exh[(r["id_a"], r["id_b"])] == pytest.approx(r["jaccard"])
 
 
 def test_minhash_hot_bucket_bounded(spark):
