@@ -114,6 +114,42 @@ class DQReport:
     def to_spark(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.findings_rows(), FINDINGS_SCHEMA)
 
+    def summary_rows(self) -> list[tuple[str, str]]:
+        return [(GOOD, self.summary[GOOD]), (BAD, self.summary[BAD])]
+
+    def to_summary_html(self, path: str = "dq_report.html") -> str:
+        """The reference writes the TWO-ROW summary (dq_df1) when
+        ``html=True, verbose=0`` (pandas_dq.py:519-521)."""
+        rows = "".join(
+            f"<tr><td>{k}</td><td>{v}</td></tr>" for k, v in self.summary_rows()
+        )
+        html = (
+            "<html><body><table border='1'><tr><th></th><th>DQ Issue</th></tr>"
+            f"{rows}</table></body></html>"
+        )
+        with open(path, "w") as f:
+            f.write(html)
+        return path
+
+    def print_inline(self, verbose: int = 0) -> None:
+        """S8 inline-display analogue of the reference's styled
+        ``display(...)`` (pandas_dq.py:525-539): the report is
+        O(n_columns) and already driver-side, so this is a plain print
+        — no Spark job.  ``verbose < 0`` prints nothing (reference
+        parity)."""
+        if verbose < 0:
+            return
+        if verbose == 0:
+            for k, v in self.summary_rows():
+                print(f"    {k}: {v}")
+            return
+        widths = [
+            max(len(str(r[i])) for r in self.findings_rows() + [tuple([""] * 7)])
+            for i in range(7)
+        ]
+        for r in self.findings_rows():
+            print("    " + " | ".join(str(v).ljust(w) for v, w in zip(r, widths)))
+
     def to_html(self, path: str = "dq_report.html", styled: bool = False) -> str:
         """S7 html-sink analogue (pandas_dq.py:547-590): the report is
         O(n_columns), rendered driver-side; no browser open.
@@ -577,5 +613,14 @@ def dq_report(
         df = data
     rep = build_dq_report(df, target=target)
     if html:
-        rep.to_html()
+        # reference: verbose==0 writes the 2-row summary, else the
+        # per-column findings (pandas_dq.py:519-523)
+        if verbose == 0:
+            rep.to_summary_html()
+        else:
+            rep.to_html()
+    else:
+        # reference displays the styled frame inline (525-539);
+        # terminal analogue prints the same table, nothing on verbose<0
+        rep.print_inline(verbose)
     return rep.to_spark(df.sparkSession)

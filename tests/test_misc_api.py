@@ -86,6 +86,27 @@ def test_sample_cap_on_path_input(spark, tmp_path, capsys):
     assert out2.count() == 2
 
 
+def test_html_verbose_dispatch(spark, tmp_path, capsys, monkeypatch):
+    # reference: html+verbose=0 writes the 2-row SUMMARY; html+verbose=1
+    # writes the findings; no-html displays inline; verbose<0 silent
+    # (pandas_dq.py:519-539)
+    monkeypatch.chdir(tmp_path)
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    pdq.dq_report(df, html=True, verbose=0)
+    html = open(tmp_path / "dq_report.html").read()
+    assert "The Good News" in html and "The Bad News" in html
+    assert "o_orderkey" not in html  # summary, not findings
+    pdq.dq_report(df, html=True, verbose=1)
+    html = open(tmp_path / "dq_report.html").read()
+    assert "o_orderkey" in html
+    capsys.readouterr()
+    pdq.dq_report(df, verbose=0)
+    out = capsys.readouterr().out
+    assert "The Good News" in out
+    pdq.dq_report(df, verbose=-1)
+    assert "Good News" not in capsys.readouterr().out
+
+
 def test_unsupported_extension_reference_parity(spark, capsys):
     # pandas_dq.py:108-111: print the exact message and return the
     # input unchanged; the library-level default raises instead
