@@ -262,7 +262,13 @@ def build_dq_report(
         df = df.toDF(*[f"__c{i}" for i in range(len(names))])
 
     # ---- stage 1: duplicate rows (pandas_dq.py:122-126) ----
-    dup_rows = duplicate_row_count(df)
+    # engine mode shuffles a 64-bit row hash instead of full rows
+    if exact:
+        dup_rows = duplicate_row_count(df)
+    else:
+        from ..plans.profile import duplicate_row_count_hashed
+
+        dup_rows = duplicate_row_count_hashed(df)
     if dup_rows > 0:
         df = df.dropDuplicates()
 
