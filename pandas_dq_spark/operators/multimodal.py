@@ -117,6 +117,154 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+# ---- real post-decode kernels (only the CODEC itself is faked) -------
+#
+# The split is deliberate: `decode_image_fake` / `decode_audio_fake`
+# stand in for PIL.Image.open / soundfile.read (unavailable in this
+# container; `decode_mode="real"` raises at exactly that call site).
+# Everything AFTER decode — the bilinear resample, the FFT features —
+# is the REAL numeric kernel a production pipeline runs, verified by
+# tests against analytic expectations.
+
+
+def decode_image_fake(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixel array from the raw bytes —
+    the stand-in for ``np.asarray(PIL.Image.open(io.BytesIO(payload)))``."""
+    need = width * height * 3
+    buf = np.frombuffer((payload or b"\0") * (need // max(len(payload or b"\0"), 1) + 1), dtype=np.uint8)
+    return buf[:need].reshape(height, width, 3).copy()
+
+
+def resize_bilinear_np(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """REAL bilinear resize (half-pixel centers, the PIL/OpenCV
+    ``align_corners=False`` convention), fully vectorized numpy."""
+    in_h, in_w = img.shape[:2]
+    xs = (np.arange(out_w) + 0.5) * in_w / out_w - 0.5
+    ys = (np.arange(out_h) + 0.5) * in_h / out_h - 0.5
+    x0 = np.clip(np.floor(xs).astype(int), 0, in_w - 1)
+    y0 = np.clip(np.floor(ys).astype(int), 0, in_h - 1)
+    x1 = np.clip(x0 + 1, 0, in_w - 1)
+    y1 = np.clip(y0 + 1, 0, in_h - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decode_mode: str = "fake"
+) -> DataFrame:
+    """Image resize as a mapInPandas stage: decode (fake/raise) ->
+    REAL bilinear resample -> re-emit payload as raw RGB24 bytes with
+    updated meta.  Narrow map, no shuffle; batch shape = Arrow batch."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real codecs unavailable in this container: would call "
+                    "PIL.Image.open(io.BytesIO(payload)) here"
+                )
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                w0 = int(m["width"] or 64)
+                h0 = int(m["height"] or 48)
+                img = decode_image_fake(p or b"", w0, h0)
+                out = resize_bilinear_np(img, width, height)
+                payloads.append(out.tobytes())
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "sample_rate": m["sample_rate"],
+                        "duration_ms": m["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.select("media_id", "kind", "payload", "meta").mapInPandas(
+        op, schema=RESIZED_SCHEMA
+    )
+
+
+def decode_audio_fake(payload: bytes) -> np.ndarray:
+    """Deterministic float waveform in [-1, 1] from raw bytes — the
+    stand-in for ``soundfile.read``."""
+    arr = np.frombuffer((payload or b"\0\0").ljust(2, b"\0"), dtype=np.uint8)
+    if arr.size % 2:
+        arr = arr[:-1]
+    wave = arr.view("<i2").astype(np.float64) / 32768.0
+    return wave
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples int, rms double, zero_crossing_rate double, "
+    "spectral_centroid_hz double"
+)
+
+
+def audio_features(df: DataFrame, decode_mode: str = "fake") -> DataFrame:
+    """Audio feature extraction: decode (fake/raise) -> REAL DSP —
+    RMS, zero-crossing rate, and FFT spectral centroid in Hz (uses
+    meta.sample_rate)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real codecs unavailable: would call soundfile.read here"
+                )
+            ids, ns, rms, zcr, sc = [], [], [], [], []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                w = decode_audio_fake(p or b"")
+                sr = int(m["sample_rate"] or 16000)
+                n = w.size
+                ids.append(mid)
+                ns.append(n)
+                rms.append(float(np.sqrt(np.mean(w**2))) if n else 0.0)
+                zcr.append(
+                    float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                if n > 1:
+                    mag = np.abs(np.fft.rfft(w))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                    tot = mag.sum()
+                    sc.append(float((freqs * mag).sum() / tot) if tot > 0 else 0.0)
+                else:
+                    sc.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": ns,
+                    "rms": rms,
+                    "zero_crossing_rate": zcr,
+                    "spectral_centroid_hz": sc,
+                }
+            )
+
+    return df.select("media_id", "payload", "meta").mapInPandas(
+        op, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def media_fixture(spark, n: int = 100, seed: int = 42) -> DataFrame:
     rng = np.random.default_rng(seed)
     rows = []

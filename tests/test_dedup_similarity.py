@@ -362,6 +362,65 @@ def test_multimodal_plumbing(spark):
     assert [r["features"] for r in again[:5]] == [r["features"] for r in rows[:5]]
 
 
+def test_bilinear_resize_kernel_analytic():
+    # the resample math is REAL (only decode is faked): verify against
+    # the analytic half-pixel-center expectation
+    from pandas_dq_spark.operators.multimodal import resize_bilinear_np
+
+    grad = np.zeros((1, 2, 3), dtype=np.uint8)
+    grad[0, 1, :] = 255
+    out = resize_bilinear_np(grad, 4, 1)
+    # src_x = (j+0.5)*2/4 - 0.5 = -0.25, 0.25, 0.75, 1.25
+    assert out[0, :, 0].tolist() == [0, 64, 191, 255]
+    # identity resize returns the original pixels
+    img = (np.arange(6 * 4 * 3) % 256).astype(np.uint8).reshape(4, 6, 3)
+    assert np.array_equal(resize_bilinear_np(img, 6, 4), img)
+
+
+def test_audio_feature_kernels_analytic():
+    # pure sine at f0: spectral centroid ~ f0, ZCR ~ 2*f0/sr
+    sr, f0, n = 16000, 1000.0, 16000
+    t = np.arange(n) / sr
+    w = np.sin(2 * np.pi * f0 * t)
+    mag = np.abs(np.fft.rfft(w))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    sc = (freqs * mag).sum() / mag.sum()
+    assert abs(sc - f0) < 1.0
+    zcr = float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1])))
+    assert abs(zcr - 2 * f0 / sr) < 1e-3
+
+
+def test_multimodal_resize_and_audio_stages(spark):
+    from pandas_dq_spark.operators.multimodal import (
+        audio_features,
+        resize_images,
+    )
+
+    media = media_fixture(spark, 30)
+    imgs = media.filter("kind = 'image'")
+    out = resize_images(imgs, 32, 24).collect()
+    assert len(out) == imgs.count()
+    for r in out:
+        assert len(r["payload"]) == 32 * 24 * 3  # raw RGB24 at target size
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 24
+    # deterministic
+    again = resize_images(imgs, 32, 24).collect()
+    assert [r["payload"] for r in again] == [r["payload"] for r in out]
+    auds = media.filter("kind = 'audio'")
+    feats = audio_features(auds).collect()
+    assert len(feats) == auds.count()
+    for r in feats:
+        assert 0.0 <= r["zero_crossing_rate"] <= 1.0
+        assert r["rms"] > 0.0
+        assert 0.0 < r["spectral_centroid_hz"] < 8000.0  # below Nyquist
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codecs unavailable"):
+        resize_images(imgs, 8, 8, decode_mode="real").collect()
+    with _pytest.raises(Exception, match="codecs unavailable"):
+        audio_features(auds, decode_mode="real").collect()
+
+
 def test_multimodal_real_mode_is_explicit_stub(spark):
     media = media_fixture(spark, 3)
     from py4j.protocol import Py4JJavaError
