@@ -25,10 +25,14 @@ def streaming_quality_filter(
     cfg: QualityConfig | None = None,
     watermark: str = "10 minutes",
     ts_col: str = "warc_ts",
+    dedup: bool = True,
 ) -> DataFrame:
     """Stateless rule/scrub stages applied to a streaming DataFrame;
     exact dedup becomes watermark-scoped dedup on the text hash (the
-    streaming-legal analogue of the batch global dedup)."""
+    streaming-legal analogue of the batch global dedup).  ``dedup=
+    False`` keeps every row (``is_dup`` stays False) — used when the
+    consumer chains its own stateful operator (e.g. the windowed
+    metrics aggregation) and wants a single stateful stage."""
     cfg = cfg or QualityConfig()
     out = stream_df.withWatermark(ts_col, watermark)
     out = add_stats(out, cfg)
@@ -45,12 +49,14 @@ def streaming_quality_filter(
     ):
         out = out.withColumn(fld, F.col(f"__ts.{fld}"))
     out = out.drop("__ts")
-    out = out.withColumn(
-        "__text_hash", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
-    )
-    out = out.dropDuplicatesWithinWatermark(["__text_hash"]).withColumn(
-        "is_dup", F.lit(False)
-    )
+    if dedup:
+        out = out.withColumn(
+            "__text_hash", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+        )
+        out = out.dropDuplicatesWithinWatermark(["__text_hash"]).drop(
+            "__text_hash"
+        )
+    out = out.withColumn("is_dup", F.lit(False))
     issue_structs = [
         F.when(
             pred,
@@ -68,7 +74,48 @@ def streaming_quality_filter(
     )
     out = out.withColumn("keep", F.size("issues") == 0)
     out = out.withColumn("scrubbed_text", scrub_col(F.col("text")))
-    return out.drop("__text_hash")
+    return out
+
+
+def streaming_metrics_windowed(
+    stream_df: DataFrame,
+    cfg: QualityConfig | None = None,
+    ts_col: str = "warc_ts",
+    window_dur: str = "7 days",
+    watermark: str = "14 days",
+) -> DataFrame:
+    """Streaming analogue of the batch metrics sidecar
+    (webtext.pipeline.metrics_sidecar): per EVENT-TIME window per
+    bucket, doc/keep/char counts, with the watermark bounding late-data
+    state — rows later than ``watermark`` behind the max seen event
+    time are dropped and their window finalizes (append-mode emits).
+
+    One stateful operator (the window agg); the quality stages run with
+    ``dedup=False`` so this query holds only |windows x buckets| state
+    rows — at 10^12 docs the state store carries thousands of rows, not
+    documents."""
+    cfg = cfg or QualityConfig()
+    scored = streaming_quality_filter(
+        stream_df, cfg, watermark=watermark, ts_col=ts_col, dedup=False
+    )
+    bucket = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
+    return (
+        scored.withColumn("bucket", bucket)
+        .groupBy(F.window(F.col(ts_col), window_dur).alias("w"), "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "n_docs",
+            "n_kept",
+            "total_chars",
+        )
+    )
 
 
 def streaming_host_running_counts(

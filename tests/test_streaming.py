@@ -76,6 +76,45 @@ def test_stateful_host_counts(spark, tmp_path):
     assert got == exp
 
 
+def test_streaming_metrics_windowed(spark, tmp_path):
+    # watermark + event-time windowed agg (late-data pattern): totals
+    # must reconcile with the batch stateless pipeline per window
+    from pandas_dq_spark.streaming import streaming_metrics_windowed
+    from pandas_dq_spark.webtext.pipeline import quality_filter
+
+    src, pdf = _write_pages(spark, tmp_path, n=300)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    cfg = QualityConfig(min_words=20, n_buckets=8)
+    out = streaming_metrics_windowed(stream, cfg, window_dur="30 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wt_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wt_windows").collect()
+    assert sum(r["n_docs"] for r in rows) == 300
+    for r in rows:
+        assert r["window_end"] > r["window_start"]
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["bucket"] < 8
+    # keep totals == batch pipeline ignoring the dedup rule (the
+    # windowed path runs dedup=False, so is_dup never fires)
+    batch = quality_filter(
+        spark.createDataFrame(pdf, schema=PAGES_SCHEMA),
+        cfg,
+        check_extraction=False,
+    )
+    non_dup_keep = batch.where(
+        F.size(F.filter(F.col("issues"), lambda x: x["check"] != "exact_duplicate"))
+        == 0
+    ).count()
+    assert sum(r["n_kept"] for r in rows) == non_dup_keep
+
+
 def test_foreach_batch_adapter(spark, tmp_path):
     src, pdf = _write_pages(spark, tmp_path, n=200)
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
