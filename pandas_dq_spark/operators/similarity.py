@@ -257,6 +257,66 @@ def ivf_assign_expr(vec: F.Column, centroids: np.ndarray) -> F.Column:
     return best["j"]
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample: int = 2000,
+    seed: int = 42,
+) -> dict:
+    """Materialize the IVF index: driver-fit coarse quantizer (seeded
+    k-means on a capped sample), rows written parquet PARTITIONED BY
+    their nearest-centroid cell, centroids stored in the
+    ``_ann_meta.json`` sidecar.  Queries probe the ``n_probe`` nearest
+    cells via partition-pruned scans — cost ~ probed fraction of the
+    table, independent of total size."""
+    C = ivf_fit_centroids(df, vec_col, n_centroids=n_centroids, sample=sample, seed=seed)
+    assign = ivf_assign_expr(F.col(vec_col), C)
+    df.withColumn("cell", assign).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    meta = {"centroids": C.tolist(), "dim": int(C.shape[1])}
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a :func:`write_ivf_index` table: the probe-cell
+    filter is a PARTITION filter, so non-probed cells are never read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=float)
+    q = np.asarray(query_vec, dtype=float)
+    if len(q) != meta["dim"]:
+        raise ValueError(f"query dim {len(q)} != index dim {meta['dim']} ({path})")
+    d = ((C - q) ** 2).sum(1)
+    probe = [int(j) for j in d.argsort()[:n_probe]]
+    sim = cosine_expr(F.col(vec_col), _lit_vec(q))
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     query_vec,

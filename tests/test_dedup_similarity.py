@@ -294,6 +294,36 @@ def test_cosine_topk_ivf(spark, sf_dir):
     assert len(exact & approx) / 10 >= 0.4
 
 
+def test_ivf_index_partition_pruned(spark, sf_dir, tmp_path):
+    # IVF analogue of the hyperplane index: full-probe == exact, and
+    # the probe is a partition filter
+    from pandas_dq_spark.operators.similarity import (
+        cosine_topk_ivf_indexed,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.toPandas()
+    q = np.array(pdf["embedding"].tolist(), dtype=float)[7]
+    idx = str(tmp_path / "ivf_idx")
+    meta = write_ivf_index(emb, idx, n_centroids=8, seed=1)
+    assert len(meta["centroids"]) <= 8
+    exact = {r["vec_id"] for r in cosine_topk_bruteforce(emb, q, k=10).collect()}
+    full = cosine_topk_ivf_indexed(spark, idx, q, k=10, n_probe=8)
+    assert {r["vec_id"] for r in full.collect()} == exact
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert any(
+        "PartitionFilters" in l and "cell" in l.split("PartitionFilters")[1]
+        for l in scan_lines
+    ), plan
+    approx = {
+        r["vec_id"]
+        for r in cosine_topk_ivf_indexed(spark, idx, q, k=10, n_probe=4).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.4
+
+
 def test_textstats_expressions(spark):
     pdf = pd.DataFrame(
         {
