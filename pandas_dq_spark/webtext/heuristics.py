@@ -63,8 +63,12 @@ def add_stats(df: DataFrame, cfg: QualityConfig, text_col: str = "text") -> Data
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
-    n_symbols = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", ""))
-    n_ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+    # regexp_count of the complement class == length of the stripped
+    # copy the old regexp_replace built, without allocating that copy
+    n_symbols = F.regexp_count(t, F.lit(r"[^\p{L}\p{N}\s]"))
+    # '...$' on split('\n') output is exactly endswith (lines carry no
+    # newline); endswith is a memcmp, the per-line regex was not
+    n_ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
     n_distinct_lines = F.size(F.array_distinct(lines))
 
     return (

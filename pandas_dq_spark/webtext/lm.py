@@ -171,3 +171,48 @@ def perplexity(tokens: list[str]) -> float:
         logp += v
         prev = w
     return math.exp(-logp / len(tokens))
+
+
+# ---- dense tables for the vectorized scoring kernel ------------------
+#
+# The dict-based scorers above look up log p(w | prev) token by token.
+# The vectorized kernel (webtext.udfs) instead maps every word to a
+# (row, col) pair and gathers from ONE dense matrix:
+#
+#   logp(prev, w) = LM_FLAT[row_base(prev) + col(w)]
+#
+# row_base: known contexts get their own row (filled with the context
+# fallback log(1/(ctx_total+V)), seen-bigram cells overridden); any
+# word never seen as a context shares the last row, which is LOG_UNSEEN
+# everywhere.  col: words never seen as a bigram successor share the
+# last column, which every row fills with its own fallback — so the
+# gather reproduces exactly the dict logic
+#   LOG_BIGRAM.get((prev, w), LOG_UNSEEN_CTX.get(prev, LOG_UNSEEN)).
+# Cell values are the identical floats; only the per-document SUM of
+# them may differ from the sequential loop in the last ulp (numpy
+# pairwise summation) — see webtext.udfs for why that is acceptable.
+
+CTX_ROW: dict[str, int] = {c: i for i, c in enumerate(_CTX_TOTALS)}
+NEXT_COL: dict[str, int] = {
+    w: j for j, w in enumerate(sorted({b for (_, b) in LOG_BIGRAM}))
+}
+LM_COLS = len(NEXT_COL) + 1  # +1 unknown-successor column
+LM_UNK_COL = len(NEXT_COL)
+LM_UNK_ROW_BASE = len(CTX_ROW) * LM_COLS
+
+_M = np.full((len(CTX_ROW) + 1, LM_COLS), LOG_UNSEEN, dtype=np.float64)
+for _c, _i in CTX_ROW.items():
+    _M[_i, :] = LOG_UNSEEN_CTX[_c]
+for (_a, _b), _v in LOG_BIGRAM.items():
+    _M[CTX_ROW[_a], NEXT_COL[_b]] = _v
+LM_FLAT = np.ascontiguousarray(_M.ravel())
+# "<s>" is always a context (every training sentence starts there),
+# but guard anyway so an empty LM degrades to LOG_UNSEEN
+LM_START_ROW_BASE = CTX_ROW.get("<s>", len(CTX_ROW)) * LM_COLS
+
+# language markers as small ints (0 = not a marker) for bincount-based
+# per-document language scoring
+LANG_INDEX: dict[str, int] = {l: i for i, l in enumerate(_LANG_ORDER)}
+MARKER_ID: dict[str, int] = {
+    w: LANG_INDEX[l] + 1 for w, l in MARKER_LANG.items()
+}

@@ -167,7 +167,12 @@ def quality_filter(
     out = out.withColumn("keep", F.size("issues") == 0)
     if scrub:
         out = out.withColumn("scrubbed_text", scrub_col(F.col("text")))
-        out = out.withColumn("pii_hits", pii_hit_count(F.col("text")))
+        # referencing scrubbed_text lets clean docs (text == scrubbed)
+        # skip the per-rule rlike scans; subexpression elimination
+        # shares the scrub chain between the two columns
+        out = out.withColumn(
+            "pii_hits", pii_hit_count(F.col("text"), F.col("scrubbed_text"))
+        )
     if "bucket" not in out.columns:
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")

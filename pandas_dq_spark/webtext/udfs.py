@@ -3,18 +3,71 @@ KenLM stand-ins, BASELINE.json north_star).
 
 These are the ONLY Python-on-executor stages in the whole pipeline
 (input_hint: 'vectorized pandas/Arrow UDFs (no per-row Python)').
-Both take one Arrow batch of text and return whole columns; the model
-dicts are module-level constants shipped once per worker via the
-closure, not per row.
+The model tables are module-level constants shipped once per worker
+via the closure, not per row.
+
+Two kernels produce the fused per-document scores:
+
+- ``impl="arrow"`` (default): tokenization stays in Arrow C++
+  (``utf8_split_whitespace`` + ``dictionary_encode``), so Python never
+  materializes the per-token objects — only the batch's (small) token
+  dictionary.  Per-unique-word properties are cached across batches;
+  per-document sums are segmented numpy reductions; the bigram
+  log-probs come from one dense-matrix gather (lm.LM_FLAT).  Measured
+  at 40k docs / 6.2M tokens this is ~5x the loop kernel.
+- ``impl="loop"``: the straightforward per-token python loop, kept as
+  the executable specification the vectorized kernel is parity-tested
+  against (tests/test_webtext_pipeline.py).
+
+Exactness: every output field is bit-identical between the two kernels
+EXCEPT ``ppl``, whose per-document log-prob sum uses numpy pairwise
+summation instead of the loop's sequential adds — same addends, so the
+results agree to the last ulp (<1e-12 relative, asserted in tests).
+The keep/drop rules compare ppl against a threshold, which a last-ulp
+difference cannot flip for any realistically-positioned document; the
+frozen goldens (scripts/freeze_webtext_golden.py) remain the sequential
+lm.perplexity values.
+
+Arrow tokenizer parity with python ``str.split()``: Arrow's
+split-on-whitespace uses the same character class as str.isspace()
+(incl. \\x1c-\\x1f, \\x85, \\xa0 — verified in tests), but keeps
+empty tokens at the string's edges; the kernel therefore trims first,
+and an all-whitespace document (Arrow: ``['']``) is remapped to zero
+tokens.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .lm import LANG_MARKERS, langid_scores, perplexity
+from .lm import (
+    CTX_ROW,
+    LANG_MARKERS,
+    LM_COLS,
+    LM_FLAT,
+    LM_START_ROW_BASE,
+    LM_UNK_COL,
+    LM_UNK_ROW_BASE,
+    LOG_BIGRAM,
+    LOG_UNSEEN,
+    LOG_UNSEEN_CTX,
+    MARKER_ID,
+    MARKER_LANG,
+    NEXT_COL,
+    _LANG_ORDER,
+    langid_scores,
+    perplexity,
+)
+
+_LANG_ARR = np.array(_LANG_ORDER, dtype=object)
+_NLANG = len(_LANG_ORDER)
 
 _LANGID_SCHEMA = T.StructType(
     [
@@ -40,15 +93,16 @@ def perplexity_udf(texts: pd.Series) -> pd.Series:
     return pd.Series([perplexity((t or "").split()) for t in texts])
 
 
-# ---- fused token-stats + scores UDF (the pipeline's hot path) --------
+# ---- fused token-stats + scores kernel (the pipeline's hot path) -----
 #
 # Measured at 1M docs / local[32]: token-level stats as Catalyst array
 # expressions cost 66s — CollapseProject inlines split() into every
 # consumer and array_contains linear-scans the stopword literal per
-# token — while this single Arrow pass costs ~4s.  "UDFs are the slow
-# path" loses to O(tokens x stopwords) JVM scans here, and langid+ppl
-# already require the Python pass, so the marginal cost of the extra
-# counters is near zero.
+# token — while a single Arrow pass costs ~4s (loop kernel), ~1s
+# (arrow kernel).  "UDFs are the slow path" loses to
+# O(tokens x stopwords) JVM scans here, and langid+ppl already require
+# the Python pass, so the marginal cost of the extra counters is near
+# zero.
 
 TEXT_SCORES_SCHEMA = T.StructType(
     [
@@ -62,84 +116,195 @@ TEXT_SCORES_SCHEMA = T.StructType(
     ]
 )
 
-def make_text_scores_udf(stopwords: tuple, row_counter=None):
-    """``row_counter`` (an optional Spark accumulator) counts rows the
-    UDF actually processes — the pipeline tests use it to assert the
-    Arrow pass runs exactly ONCE per row per run (no double compute)."""
-    import math
+_EMPTY_ROW = ("und", 0.0, float("inf"), 0, 0.0, 0.0, 0.0)
 
-    from .lm import LOG_BIGRAM, LOG_UNSEEN, LOG_UNSEEN_CTX, MARKER_LANG, _LANG_ORDER
 
-    stop_set = frozenset(stopwords)
-    # per-word memo (scoped to this UDF's stopword set): word ->
-    # (len, is_stop_int, nonalpha_int, marker_lang_or_None); web text
-    # repeats words heavily so this amortizes per-char isalpha()
-    memo: dict[str, tuple] = {}
+def make_word_props(stop_set: frozenset):
+    """word -> (len, is_stop, non_alpha, marker_id, lm_row_base,
+    lm_col); the per-word facts both kernels score from."""
 
-    def _word_props(w: str) -> tuple:
-        p = (
+    def _props(w: str) -> tuple:
+        return (
             len(w),
             1 if w in stop_set else 0,
             0 if any(c.isalpha() for c in w) else 1,
-            MARKER_LANG.get(w),
+            MARKER_ID.get(w, 0),
+            CTX_ROW.get(w, len(CTX_ROW)) * LM_COLS,
+            NEXT_COL.get(w, LM_UNK_COL),
         )
-        if len(memo) < 2_000_000:
-            memo[w] = p
-        return p
+
+    return _props
+
+
+def arrow_scores_frame(
+    texts: pd.Series, stop_set: frozenset, cache: dict | None = None
+) -> pd.DataFrame:
+    """The vectorized kernel: one batch of raw text -> the
+    TEXT_SCORES_SCHEMA frame.
+
+    Stages (all C/C++ except the per-UNIQUE-word property loop):
+      1. Arrow: fill_null -> trim -> split_whitespace -> flatten ->
+         dictionary_encode.  Token count per doc from the list offsets.
+      2. numpy: per-token property gathers from per-unique arrays,
+         segmented per-document sums (add.reduceat over doc starts),
+         language-marker counts via ONE bincount over
+         doc_index*(L+1)+marker_id, bigram log-probs via one gather
+         from the dense lm.LM_FLAT matrix (rows shifted by one token
+         within each doc; doc starts use the "<s>" row).
+    """
+    cache = cache if cache is not None else {}
+    _props = make_word_props(stop_set)
+    B = len(texts)
+    arr = pc.fill_null(pa.array(texts, type=pa.string(), from_pandas=True), "")
+    trimmed = pc.utf8_trim_whitespace(arr)
+    tok = pc.utf8_split_whitespace(trimmed)
+    lens = np.diff(np.asarray(tok.offsets, dtype=np.int64))
+    flat = tok.flatten()
+    # all-whitespace docs give exactly one '' token each: drop them
+    empty_doc = np.asarray(pc.equal(pc.utf8_length(trimmed), 0))
+    if empty_doc.any():
+        lens = np.where(empty_doc, 0, lens)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+
+    nz = lens > 0
+    lang_pred = np.full(B, "und", dtype=object)
+    lang_score = np.zeros(B)
+    ppl = np.full(B, np.inf)
+    mwl = np.zeros(B)
+    swf = np.zeros(B)
+    naf = np.zeros(B)
+    n_nz = int(nz.sum())
+    if n_nz:
+        de = pc.dictionary_encode(flat)
+        codes = np.asarray(de.indices, dtype=np.int64)
+        uniques = de.dictionary.to_pylist()
+        n_u = len(uniques)
+        up = np.empty((6, n_u), dtype=np.int64)
+        cg = cache.get
+        for i in range(n_u):
+            w = uniques[i]
+            p = cg(w)
+            if p is None:
+                p = _props(w)
+                if len(cache) < 2_000_000:
+                    cache[w] = p
+            up[0, i], up[1, i], up[2, i], up[3, i], up[4, i], up[5, i] = p
+        u_len, u_stop, u_non, u_mark, u_row, u_col = (
+            np.ascontiguousarray(up[k]) for k in range(6)
+        )
+        lens_nz = lens[nz]
+        starts = np.zeros(n_nz, dtype=np.int64)
+        np.cumsum(lens_nz[:-1], out=starts[1:])
+        sum_len = np.add.reduceat(u_len[codes], starts)
+        n_stop = np.add.reduceat(u_stop[codes], starts)
+        n_non = np.add.reduceat(u_non[codes], starts)
+        doc_idx = np.repeat(np.arange(n_nz, dtype=np.int64), lens_nz)
+        key = doc_idx * (_NLANG + 1) + u_mark[codes]
+        counts = np.bincount(key, minlength=n_nz * (_NLANG + 1)).reshape(
+            n_nz, _NLANG + 1
+        )[:, 1:]
+        # argmax returns the FIRST maximum: same tie-break as the
+        # loop's strict-greater scan in LANG_POOLS order
+        best_idx = np.argmax(counts, axis=1)
+        best = counts[np.arange(n_nz), best_idx]
+        rowbase = np.empty(len(codes), dtype=np.int64)
+        rowbase[1:] = u_row[codes[:-1]]
+        rowbase[starts] = LM_START_ROW_BASE
+        logp = np.add.reduceat(LM_FLAT[rowbase + u_col[codes]], starts)
+        lp = _LANG_ARR[best_idx]
+        lp[best == 0] = "und"
+        lang_pred[nz] = lp
+        lang_score[nz] = best / lens_nz
+        ppl[nz] = np.exp(-logp / lens_nz)
+        mwl[nz] = sum_len / lens_nz
+        swf[nz] = n_stop / lens_nz
+        naf[nz] = n_non / lens_nz
+    return pd.DataFrame(
+        {
+            "lang_pred": lang_pred,
+            "lang_score": lang_score,
+            "ppl": ppl,
+            "n_words": pd.Series(lens, dtype="int32"),
+            "mean_word_len": mwl,
+            "stopword_frac": swf,
+            "non_alpha_word_frac": naf,
+        }
+    )
+
+
+def loop_scores_frame(
+    texts: pd.Series, stop_set: frozenset, cache: dict | None = None
+) -> pd.DataFrame:
+    """The per-token python loop: the executable spec for
+    arrow_scores_frame (bit-identical to lm.langid_scores /
+    lm.perplexity), with a per-word property memo."""
+    cache = cache if cache is not None else {}
+    _props = make_word_props(stop_set)
+    out = {f.name: [] for f in TEXT_SCORES_SCHEMA.fields}
+    memo_get = cache.get
+    lb_get, lu_get = LOG_BIGRAM.get, LOG_UNSEEN_CTX.get
+    for t in texts:
+        toks = (t or "").split()
+        n = len(toks)
+        if n == 0:
+            for name, v in zip(out, _EMPTY_ROW):
+                out[name].append(v)
+            continue
+        sum_len = n_stop = n_nonalpha = 0
+        lang_counts: dict[str, int] = {}
+        logp = 0.0
+        prev = "<s>"
+        for w in toks:
+            p = memo_get(w)
+            if p is None:
+                p = _props(w)
+                if len(cache) < 2_000_000:
+                    cache[w] = p
+            sum_len += p[0]
+            n_stop += p[1]
+            n_nonalpha += p[2]
+            ml = p[3]
+            if ml:
+                lang_counts[ml] = lang_counts.get(ml, 0) + 1
+            v = lb_get((prev, w))
+            if v is None:
+                v = lu_get(prev, LOG_UNSEEN)
+            logp += v
+            prev = w
+        best_id, best = 0, 0
+        for li in range(1, _NLANG + 1):
+            hits = lang_counts.get(li, 0)
+            if hits > best:
+                best, best_id = hits, li
+        out["lang_pred"].append(
+            _LANG_ORDER[best_id - 1] if best else "und"
+        )
+        out["lang_score"].append(best / n)
+        out["ppl"].append(math.exp(-logp / n))
+        out["n_words"].append(n)
+        out["mean_word_len"].append(sum_len / n)
+        out["stopword_frac"].append(n_stop / n)
+        out["non_alpha_word_frac"].append(n_nonalpha / n)
+    return pd.DataFrame(out)
+
+
+def make_text_scores_udf(stopwords: tuple, row_counter=None, impl: str = "arrow"):
+    """``row_counter`` (an optional Spark accumulator) counts rows the
+    UDF actually processes — the pipeline tests use it to assert the
+    Arrow pass runs exactly ONCE per row per run (no double compute).
+
+    ``impl``: "arrow" (default, vectorized) or "loop" (the executable
+    spec; same numbers, ~5x slower)."""
+    stop_set = frozenset(stopwords)
+    kernel = arrow_scores_frame if impl == "arrow" else loop_scores_frame
+    # per-worker persistent word-property cache (web text repeats words
+    # heavily, so per-batch unique counts stay small once warm)
+    cache: dict[str, tuple] = {}
 
     @F.pandas_udf(TEXT_SCORES_SCHEMA)
     def text_scores_udf(texts: pd.Series) -> pd.DataFrame:
-        # ONE fused per-token loop (token stats + langid counts +
-        # precomputed-log perplexity): produces bit-identical numbers
-        # to lm.langid_scores/lm.perplexity, ~3x fewer python ops
         if row_counter is not None:
             row_counter.add(len(texts))
-        out = {f.name: [] for f in TEXT_SCORES_SCHEMA.fields}
-        memo_get = memo.get
-        lb_get, lu_get = LOG_BIGRAM.get, LOG_UNSEEN_CTX.get
-        for t in texts:
-            toks = (t or "").split()
-            n = len(toks)
-            if n == 0:
-                out["lang_pred"].append("und")
-                out["lang_score"].append(0.0)
-                out["ppl"].append(float("inf"))
-                out["n_words"].append(0)
-                out["mean_word_len"].append(0.0)
-                out["stopword_frac"].append(0.0)
-                out["non_alpha_word_frac"].append(0.0)
-                continue
-            sum_len = n_stop = n_nonalpha = 0
-            lang_counts: dict[str, int] = {}
-            logp = 0.0
-            prev = "<s>"
-            for w in toks:
-                p = memo_get(w)
-                if p is None:
-                    p = _word_props(w)
-                sum_len += p[0]
-                n_stop += p[1]
-                n_nonalpha += p[2]
-                ml = p[3]
-                if ml is not None:
-                    lang_counts[ml] = lang_counts.get(ml, 0) + 1
-                v = lb_get((prev, w))
-                if v is None:
-                    v = lu_get(prev, LOG_UNSEEN)
-                logp += v
-                prev = w
-            best_lang, best = "und", 0
-            for lang in _LANG_ORDER:
-                hits = lang_counts.get(lang, 0)
-                if hits > best:
-                    best, best_lang = hits, lang
-            out["lang_pred"].append(best_lang)
-            out["lang_score"].append(best / n)
-            out["ppl"].append(math.exp(-logp / n))
-            out["n_words"].append(n)
-            out["mean_word_len"].append(sum_len / n)
-            out["stopword_frac"].append(n_stop / n)
-            out["non_alpha_word_frac"].append(n_nonalpha / n)
-        return pd.DataFrame(out)
+        return kernel(texts, stop_set, cache)
 
     return text_scores_udf
