@@ -89,6 +89,10 @@ def main() -> None:
     # something when per-doc work dwarfs plan/codegen/job overheads.
     # NOT included in the headline total (keeps round-over-round
     # comparability of `value`).
+    # drop caches the earlier queries pinned (minhash signature tables
+    # etc.) so the throughput run measures the pipeline, not GC churn
+    # against a fragmented heap
+    spark.catalog.clearCache()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "400"))
     big = (
         docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
@@ -108,7 +112,9 @@ def main() -> None:
     )
     n_big = big.count()
     big_sec = float("inf")
-    for _ in range(2):
+    # best-of-3: the flagship number; this sandbox's host contention
+    # swings wall clocks 2-3x in waves longer than one run
+    for _ in range(3):
         t0 = time.perf_counter()
         out = quality_filter(big, QualityConfig(min_words=20), check_extraction=False)
         out.select(F.sum(F.length("scrubbed_text")), F.sum(F.size("issues")), F.sum(F.col("keep").cast("long"))).collect()

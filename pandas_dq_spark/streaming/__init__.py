@@ -14,10 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..webtext.heuristics import QualityConfig, add_stats, rule_exprs
+from ..webtext.heuristics import QualityConfig, rule_exprs
 from ..webtext.pipeline import ISSUE_TYPE
 from ..webtext.scrub import scrub_col
-from ..webtext.udfs import make_text_scores_udf
+from ..webtext.udfs import TEXT_SCORES_FIELDS, make_text_scores_udf
 
 
 def streaming_quality_filter(
@@ -35,18 +35,11 @@ def streaming_quality_filter(
     metrics aggregation) and wants a single stateful stage."""
     cfg = cfg or QualityConfig()
     out = stream_df.withWatermark(ts_col, watermark)
-    out = add_stats(out, cfg)
+    # same fused Arrow pass as the batch pipeline (stats incl. char/
+    # line level come out of the one UDF struct)
     scores_udf = make_text_scores_udf(cfg.stopwords)
     out = out.withColumn("__ts", scores_udf(F.col("text")))
-    for fld in (
-        "lang_pred",
-        "lang_score",
-        "ppl",
-        "n_words",
-        "mean_word_len",
-        "stopword_frac",
-        "non_alpha_word_frac",
-    ):
+    for fld in TEXT_SCORES_FIELDS:
         out = out.withColumn(fld, F.col(f"__ts.{fld}"))
     out = out.drop("__ts")
     if dedup:

@@ -51,15 +51,22 @@ def words_col(text: Column) -> Column:
 
 
 def add_stats(df: DataFrame, cfg: QualityConfig, text_col: str = "text") -> DataFrame:
-    """Char- and line-level statistics as Catalyst expressions.
+    """Char- and line-level statistics as Catalyst expressions —
+    the STANDALONE variant for callers that want these stats without
+    the fused Arrow pass.
 
-    Token-level statistics (n_words, mean_word_len, stopword_frac,
-    non_alpha_word_frac) live in the fused pandas UDF
-    (webtext.udfs.make_text_scores_udf) together with langid and
-    perplexity: measured at 1M docs the expression versions cost 66s
-    (CollapseProject re-inlines split() into every consumer and
-    array_contains linear-scans the stopword list per token) vs ~4s
-    for the single Arrow pass that is already being paid for langid."""
+    The pipeline itself (webtext.pipeline.quality_filter and the
+    streaming adapter) computes the same statistics inside the single
+    Arrow UDF pass (webtext.udfs) so the text is scanned exactly once
+    for every per-document number; measured at 1M docs the expression
+    versions of the token stats cost 66s (CollapseProject re-inlines
+    split() into every consumer and array_contains linear-scans the
+    stopword list per token) vs ~1s inside the pass already being paid
+    for langid.  One semantic nuance: this variant counts symbols with
+    the Java regex classes \\p{L}\\p{N}\\s while the kernel uses python
+    isalnum()/isspace() (the reference-label semantics); the classes
+    agree on all fixture text and differ only on exotica like
+    \\u00a0 (java \\s is ASCII-only)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(t, "\n")
     n_lines = F.size(lines)

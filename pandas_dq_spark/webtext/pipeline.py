@@ -32,9 +32,9 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .heuristics import QualityConfig, add_stats, rule_exprs
+from .heuristics import QualityConfig, rule_exprs
 from .scrub import pii_hit_count, scrub_col
-from .udfs import make_text_scores_udf
+from .udfs import TEXT_SCORES_FIELDS, make_text_scores_udf
 
 ISSUE_TYPE = "array<struct<check:string,severity:string,detail:string>>"
 
@@ -123,19 +123,12 @@ def quality_filter(
         out = out.withColumn(
             "extract_ok", F.coalesce(F.col("extracted_text") == F.col("text"), F.lit(False))
         )
-    out = add_stats(out, cfg)
-    # one Arrow pass: langid + perplexity + token-level stats
+    # ONE Arrow pass: langid + perplexity + token/char/line stats —
+    # the text is read exactly once for every per-document statistic
+    # (heuristics.add_stats remains as the standalone Catalyst variant)
     scores_udf = make_text_scores_udf(cfg.stopwords, row_counter=udf_row_counter)
     out = out.withColumn("__ts", scores_udf(F.col("text")))
-    for fld in (
-        "lang_pred",
-        "lang_score",
-        "ppl",
-        "n_words",
-        "mean_word_len",
-        "stopword_frac",
-        "non_alpha_word_frac",
-    ):
+    for fld in TEXT_SCORES_FIELDS:
         out = out.withColumn(fld, F.col(f"__ts.{fld}"))
     out = out.drop("__ts")
     out = mark_duplicates(out, verdict=dup_verdict)

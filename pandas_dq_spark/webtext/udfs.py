@@ -113,15 +113,30 @@ TEXT_SCORES_SCHEMA = T.StructType(
         T.StructField("mean_word_len", T.DoubleType()),
         T.StructField("stopword_frac", T.DoubleType()),
         T.StructField("non_alpha_word_frac", T.DoubleType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("symbol_ratio", T.DoubleType()),
+        T.StructField("repeated_line_frac", T.DoubleType()),
+        T.StructField("ellipsis_line_frac", T.DoubleType()),
     ]
 )
 
-_EMPTY_ROW = ("und", 0.0, float("inf"), 0, 0.0, 0.0, 0.0)
+# every per-document field the fused pass produces, in schema order —
+# pipeline/streaming extract exactly these from the struct
+TEXT_SCORES_FIELDS = tuple(f.name for f in TEXT_SCORES_SCHEMA.fields)
 
 
 def make_word_props(stop_set: frozenset):
     """word -> (len, is_stop, non_alpha, marker_id, lm_row_base,
-    lm_col); the per-word facts both kernels score from."""
+    lm_col, n_alnum); the per-word facts both kernels score from.
+
+    ``n_alnum`` powers document symbol counting without a text scan:
+    whitespace-split tokens partition exactly the non-isspace()
+    characters of the document, so
+      n_symbols = sum(len(w)) - sum(n_alnum(w))
+    equals the reference's per-character
+      sum(not (ch.isalnum() or ch.isspace()))
+    (proved by the loop-kernel parity test, which computes the
+    per-character form directly)."""
 
     def _props(w: str) -> tuple:
         return (
@@ -131,6 +146,7 @@ def make_word_props(stop_set: frozenset):
             MARKER_ID.get(w, 0),
             CTX_ROW.get(w, len(CTX_ROW)) * LM_COLS,
             NEXT_COL.get(w, LM_UNK_COL),
+            sum(1 for c in w if c.isalnum()),
         )
 
     return _props
@@ -166,6 +182,26 @@ def arrow_scores_frame(
         lens = np.where(empty_doc, 0, lens)
         flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
 
+    # ---- char/line-level stats (all docs, raw untrimmed text) -------
+    n_chars = np.asarray(pc.utf8_length(arr), dtype=np.int64)
+    ln = pc.split_pattern(arr, pattern="\n")  # python split('\n'): keeps empties
+    n_lines = np.diff(np.asarray(ln.offsets, dtype=np.int64))  # always >= 1
+    lflat = ln.flatten()
+    lde = pc.dictionary_encode(lflat)
+    lcodes = np.asarray(lde.indices, dtype=np.int64)
+    n_ldict = len(lde.dictionary)
+    l_starts = np.zeros(B, dtype=np.int64)
+    np.cumsum(n_lines[:-1], out=l_starts[1:])
+    line_doc = np.repeat(np.arange(B, dtype=np.int64), n_lines)
+    # distinct lines per doc: unique (doc, line-code) pairs
+    distinct_lines = np.bincount(
+        np.unique(line_doc * n_ldict + lcodes) // n_ldict, minlength=B
+    )
+    u_ell = np.asarray(pc.ends_with(lde.dictionary, pattern="..."))
+    ell_lines = np.add.reduceat(u_ell[lcodes].astype(np.int64), l_starts)
+    repeated_line_frac = 1.0 - distinct_lines / n_lines
+    ellipsis_line_frac = ell_lines / n_lines
+
     nz = lens > 0
     lang_pred = np.full(B, "und", dtype=object)
     lang_score = np.zeros(B)
@@ -173,13 +209,14 @@ def arrow_scores_frame(
     mwl = np.zeros(B)
     swf = np.zeros(B)
     naf = np.zeros(B)
+    symbol_ratio = np.zeros(B)
     n_nz = int(nz.sum())
     if n_nz:
         de = pc.dictionary_encode(flat)
         codes = np.asarray(de.indices, dtype=np.int64)
         uniques = de.dictionary.to_pylist()
         n_u = len(uniques)
-        up = np.empty((6, n_u), dtype=np.int64)
+        up = np.empty((7, n_u), dtype=np.int64)
         cg = cache.get
         for i in range(n_u):
             w = uniques[i]
@@ -188,9 +225,17 @@ def arrow_scores_frame(
                 p = _props(w)
                 if len(cache) < 2_000_000:
                     cache[w] = p
-            up[0, i], up[1, i], up[2, i], up[3, i], up[4, i], up[5, i] = p
-        u_len, u_stop, u_non, u_mark, u_row, u_col = (
-            np.ascontiguousarray(up[k]) for k in range(6)
+            (
+                up[0, i],
+                up[1, i],
+                up[2, i],
+                up[3, i],
+                up[4, i],
+                up[5, i],
+                up[6, i],
+            ) = p
+        u_len, u_stop, u_non, u_mark, u_row, u_col, u_aln = (
+            np.ascontiguousarray(up[k]) for k in range(7)
         )
         lens_nz = lens[nz]
         starts = np.zeros(n_nz, dtype=np.int64)
@@ -198,6 +243,7 @@ def arrow_scores_frame(
         sum_len = np.add.reduceat(u_len[codes], starts)
         n_stop = np.add.reduceat(u_stop[codes], starts)
         n_non = np.add.reduceat(u_non[codes], starts)
+        n_alnum = np.add.reduceat(u_aln[codes], starts)
         doc_idx = np.repeat(np.arange(n_nz, dtype=np.int64), lens_nz)
         key = doc_idx * (_NLANG + 1) + u_mark[codes]
         counts = np.bincount(key, minlength=n_nz * (_NLANG + 1)).reshape(
@@ -219,6 +265,10 @@ def arrow_scores_frame(
         mwl[nz] = sum_len / lens_nz
         swf[nz] = n_stop / lens_nz
         naf[nz] = n_non / lens_nz
+        # token chars partition the non-whitespace chars, so symbols
+        # (neither alnum nor whitespace) = token chars - alnum chars;
+        # docs with zero tokens have zero symbols by the same identity
+        symbol_ratio[nz] = (sum_len - n_alnum) / np.maximum(n_chars[nz], 1)
     return pd.DataFrame(
         {
             "lang_pred": lang_pred,
@@ -228,6 +278,10 @@ def arrow_scores_frame(
             "mean_word_len": mwl,
             "stopword_frac": swf,
             "non_alpha_word_frac": naf,
+            "n_chars": pd.Series(n_chars, dtype="int32"),
+            "symbol_ratio": symbol_ratio,
+            "repeated_line_frac": repeated_line_frac,
+            "ellipsis_line_frac": ellipsis_line_frac,
         }
     )
 
@@ -237,18 +291,42 @@ def loop_scores_frame(
 ) -> pd.DataFrame:
     """The per-token python loop: the executable spec for
     arrow_scores_frame (bit-identical to lm.langid_scores /
-    lm.perplexity), with a per-word property memo."""
+    lm.perplexity), with a per-word property memo.
+
+    The char/line stats here use the REFERENCE's direct formulas
+    (per-character isalnum/isspace scan, set() over split('\\n')
+    lines, str.endswith) — the parity test against the vectorized
+    kernel is what proves the kernel's token-partition reformulation
+    of symbol counting correct."""
     cache = cache if cache is not None else {}
     _props = make_word_props(stop_set)
     out = {f.name: [] for f in TEXT_SCORES_SCHEMA.fields}
     memo_get = cache.get
     lb_get, lu_get = LOG_BIGRAM.get, LOG_UNSEEN_CTX.get
     for t in texts:
-        toks = (t or "").split()
+        t = t or ""
+        toks = t.split()
         n = len(toks)
+        n_chars = len(t)
+        n_sym = sum(
+            1 for ch in t if not (ch.isalnum() or ch.isspace())
+        )
+        lines = t.split("\n")
+        n_lines = len(lines)  # always >= 1
+        out["n_chars"].append(n_chars)
+        out["symbol_ratio"].append(n_sym / n_chars if n_chars else 0.0)
+        out["repeated_line_frac"].append(1.0 - len(set(lines)) / n_lines)
+        out["ellipsis_line_frac"].append(
+            sum(1 for l in lines if l.endswith("...")) / n_lines
+        )
         if n == 0:
-            for name, v in zip(out, _EMPTY_ROW):
-                out[name].append(v)
+            out["lang_pred"].append("und")
+            out["lang_score"].append(0.0)
+            out["ppl"].append(float("inf"))
+            out["n_words"].append(0)
+            out["mean_word_len"].append(0.0)
+            out["stopword_frac"].append(0.0)
+            out["non_alpha_word_frac"].append(0.0)
             continue
         sum_len = n_stop = n_nonalpha = 0
         lang_counts: dict[str, int] = {}

@@ -29,6 +29,13 @@ EXACT_COLS = [
     "mean_word_len",
     "stopword_frac",
     "non_alpha_word_frac",
+    # char/line stats: the loop kernel computes these with the
+    # reference's per-character / set-of-lines formulas, so equality
+    # here PROVES the vectorized token-partition/dictionary versions
+    "n_chars",
+    "symbol_ratio",
+    "repeated_line_frac",
+    "ellipsis_line_frac",
 ]
 
 EDGE_TEXTS = [
@@ -45,6 +52,13 @@ EDGE_TEXTS = [
     "word, word... end!",
     "éèê café réseau données",
     "999 123-45-6789 !!!",
+    # line-stat edges: dup lines, trailing newline (empty last line),
+    # ellipsis endings, lines differing only by whitespace
+    "a\na\na\nb",
+    "line one...\nline two\nline one...\n",
+    "\n\n\n",
+    "x \nx\n x",
+    "²½ΩАб 日本語",  # non-ASCII alnum: isalnum vs \p{L}\p{N}
 ]
 
 
