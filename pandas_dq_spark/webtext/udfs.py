@@ -49,17 +49,14 @@ from pyspark.sql import types as T
 
 from .lm import (
     CTX_ROW,
-    LANG_MARKERS,
     LM_COLS,
     LM_FLAT,
     LM_START_ROW_BASE,
     LM_UNK_COL,
-    LM_UNK_ROW_BASE,
     LOG_BIGRAM,
     LOG_UNSEEN,
     LOG_UNSEEN_CTX,
     MARKER_ID,
-    MARKER_LANG,
     NEXT_COL,
     _LANG_ORDER,
     langid_scores,
@@ -171,6 +168,18 @@ def arrow_scores_frame(
     cache = cache if cache is not None else {}
     _props = make_word_props(stop_set)
     B = len(texts)
+    if B == 0:
+        # a zero-row batch would leave the line dictionary empty and
+        # the distinct-count key arithmetic degenerate
+        return pd.DataFrame(
+            {
+                f.name: pd.Series(
+                    [], dtype="object" if f.name == "lang_pred" else
+                    ("int32" if f.name in ("n_words", "n_chars") else "float64")
+                )
+                for f in TEXT_SCORES_SCHEMA.fields
+            }
+        )
     arr = pc.fill_null(pa.array(texts, type=pa.string(), from_pandas=True), "")
     trimmed = pc.utf8_trim_whitespace(arr)
     tok = pc.utf8_split_whitespace(trimmed)

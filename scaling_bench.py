@@ -27,7 +27,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "800"))
+# x1600 = 8M docs: sized round 3 so fixed per-run costs stay small
+# relative to parallel work after the kernel rewrite (BASELINE.md);
+# BENCH_SCALING.json was produced with this default
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "1600"))
 
 
 def calibrate(cpus: int, seconds: float = 4.0) -> float:
