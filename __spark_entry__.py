@@ -207,27 +207,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a7_value_counts"] = a7_value_counts
 
     def a10_outlier_counts(spark, sf):
-        # exact percentile as a broadcast single-row subquery, fence
-        # count against it — ONE lazy plan / one job, and the driver
-        # never materializes anything but the final row (the bounds
-        # never leave the cluster; driver-OOM-proof at any scale)
+        # EXACT quantiles via the range-bucketed order-statistics plan
+        # (plans/profile.quantiles_bucketed): per-value counts shuffle
+        # by value range, the target order statistic is located inside
+        # one small bucket — no single-reducer percentile state at any
+        # scale (the alternative, F.percentile as a broadcast one-row
+        # subquery, is one lazy plan but funnels the column's value
+        # multiset to one reducer; measured ~17% slower at sf0.1 too).
+        # Only the two quantile doubles cross the driver.
+        from pandas_dq_spark.plans.profile import quantiles_bucketed
+
         li = _t(spark, sf, "lineitem")
+        q1, q3 = quantiles_bucketed(li, "l_extendedprice", [0.25, 0.75])
+        lb, ub = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
         c = F.col("l_extendedprice")
-        b = (
-            li.agg(F.percentile(c, F.array(F.lit(0.25), F.lit(0.75))).alias("q"))
-            .select(
-                F.col("q")[0].alias("q1"),
-                F.col("q")[1].alias("q3"),
-                (F.col("q")[0] - 1.5 * (F.col("q")[1] - F.col("q")[0])).alias("lb"),
-                (F.col("q")[1] + 1.5 * (F.col("q")[1] - F.col("q")[0])).alias("ub"),
-            )
-        )
-        return li.crossJoin(F.broadcast(b)).agg(
-            F.sum(((c < F.col("lb")) | (c > F.col("ub"))).cast("long")).alias(
+        return li.agg(
+            F.sum(((c < F.lit(lb)) | (c > F.lit(ub))).cast("long")).alias(
                 "n_outliers"
             ),
-            F.round(F.first("q1"), 6).alias("q1"),
-            F.round(F.first("q3"), 6).alias("q3"),
+            F.round(F.lit(q1), 6).alias("q1"),
+            F.round(F.lit(q3), 6).alias("q3"),
         )
 
     q["a10_outlier_counts"] = a10_outlier_counts
