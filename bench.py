@@ -48,7 +48,7 @@ def main() -> None:
         app_name="bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 8),
-        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "20000"},
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "5000"},
     )
 
     qs = entrymod.queries()

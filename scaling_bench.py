@@ -114,7 +114,7 @@ def measure(cpus: int) -> dict:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 4,
         extra_conf={
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "5000",
             # enough heap that the enlarged corpus stays memory-resident
             # at every REPLICAS setting — the measurement must compare
             # compute scaling, not disk-spill I/O
