@@ -7,6 +7,7 @@ Usage (cluster):
     spark-submit --py-files pandas_dq_spark.zip \
         --conf spark.sql.adaptive.enabled=true \
         --conf spark.sql.shuffle.partitions=<2-3x total cores> \
+        --conf spark.sql.execution.arrow.maxRecordsPerBatch=5000 \
         scripts/submit_pipeline.py \
         --input  <parquet-or-iceberg path of pages> \
         --output <output dir> \
@@ -16,6 +17,10 @@ Usage (local smoke):
     python scripts/submit_pipeline.py \
         --input /root/testdata/sf0.001/documents.parquet \
         --output /tmp/wt_out --buckets 16 --docs-as-pages
+
+Keep spark.sql.execution.arrow.maxRecordsPerBatch ~5000: the fused
+scoring kernel's per-batch numpy working set stays cache-resident
+there (measured ~1.8x end-to-end vs 20k-record batches).
 
 At 10^12 documents set --buckets so that one bucket ~ a few hundred GB
 (the checkpoint/restart granularity), and let AQE size the shuffles.
