@@ -32,10 +32,20 @@ FULL_SCHEMA = (
 )
 
 
+# engine-mode-only gate (NON-parity, documented): columns whose
+# (approx) distinct count exceeds this skip the KS test entirely.  The
+# reference's 'NA'→0 quirk sends EVERY float column to KS; parity mode
+# reproduces that, but at 10^12 rows an unbounded-cardinality float
+# column contributes an unbounded per-value shuffle to the fused KS
+# job, so engine mode bounds the per-column work instead.
+KS_ENGINE_DISTINCT_CAP = 100_000
+
+
 def build_dc_report(
     train: DataFrame,
     test: DataFrame,
     exclude: list[str] | None = None,
+    exact: bool = True,
 ) -> tuple[DQReport, DQReport, dict[str, str | None]]:
     exclude = exclude or []
     for e in exclude:
@@ -52,8 +62,8 @@ def build_dc_report(
             "The two dataframes dont have the same columns. Use exclude argument to exclude columns from comparison."
         )
 
-    rep_tr = build_dq_report(train)
-    rep_te = build_dq_report(test)
+    rep_tr = build_dq_report(train, exact=exact)
+    rep_te = build_dq_report(test, exact=exact)
 
     # gather every column that passes the KS gate, then compute ALL
     # the KS statistics in ONE job (ks_2samp_many) instead of one
@@ -71,13 +81,25 @@ def build_dc_report(
             "int",
             "float",
         )
-        return (
+        if not (
             numeric
             and count_unique_train < 10
             and count_unique_test < 10
             and rep_tr.missing_pct[col] < 100
             and rep_te.missing_pct[col] < 100
-        )
+        ):
+            return False
+        if not exact:
+            # engine mode: bound the fused KS job — skip columns whose
+            # (approx) distinct count is unbounded (non-parity; the
+            # reference has no such gate because scipy.ks_2samp on an
+            # in-memory sample never meets this regime)
+            if (
+                rep_tr.n_distinct.get(col, 0) > KS_ENGINE_DISTINCT_CAP
+                or rep_te.n_distinct.get(col, 0) > KS_ENGINE_DISTINCT_CAP
+            ):
+                return False
+        return True
 
     ks_cols = [c for c in train.columns if _qualifies(c)]
     ks_stats = ks_2samp_many(train, test, ks_cols)
@@ -118,9 +140,25 @@ def dc_report(
     html: bool = False,
     verbose: int = 0,
     spark: SparkSession | None = None,
+    exact: bool | None = None,
 ) -> DataFrame:
+    """Public train/test drift entry point (pandas_dq.py:1199).
+
+    ``exact`` mirrors :func:`dq_report`'s flag: ``True`` = parity
+    plans, ``False`` = engine plans (bucketed quantiles,
+    approx-distinct, hashed dup counts, KS bounded by
+    ``KS_ENGINE_DISTINCT_CAP``).  ``None`` auto-selects by row count
+    on either side via a bounded ``limit`` probe.
+    """
     spark = spark or train.sparkSession
-    rep_tr, rep_te, dist_diff = build_dc_report(train, test, exclude)
+    if exact is None:
+        from .dq_report import SAMPLE_CAP_ROWS, _at_least_rows
+
+        exact = not (
+            _at_least_rows(train, SAMPLE_CAP_ROWS)
+            or _at_least_rows(test, SAMPLE_CAP_ROWS)
+        )
+    rep_tr, rep_te, dist_diff = build_dc_report(train, test, exclude, exact=exact)
     cols = rep_tr.columns
     if verbose:
         rows = [

@@ -96,6 +96,11 @@ class DQReport:
     summary: dict[str, str]  # GOOD/BAD -> text
     roles: dict[str, list[str]] = field(default_factory=dict)
     n_rows: int = 0
+    # per-column distinct counts (exact in parity mode, HLL estimate in
+    # engine mode) — kept so dc_report's engine-mode KS gate can skip
+    # unbounded-cardinality columns without a second pass
+    n_distinct: dict[str, int] = field(default_factory=dict)
+    exact: bool = True
 
     def findings_rows(self) -> list[tuple]:
         return [
@@ -572,6 +577,8 @@ def build_dq_report(
         summary={GOOD: dq1.get(GOOD), BAD: dq1.get(BAD)},
         roles=roles,
         n_rows=n,
+        n_distinct={c: state.columns[c].n_distinct for c in cols},
+        exact=exact,
     )
 
 
@@ -579,6 +586,13 @@ def build_dq_report(
 # above SAMPLE_CAP_ROWS are profiled on a ~SAMPLE_CAP_N random sample
 SAMPLE_CAP_ROWS = 1_000_000
 SAMPLE_CAP_N = 100_000
+
+
+def _at_least_rows(df: DataFrame, n: int) -> bool:
+    """Bounded probe: does ``df`` have at least ``n`` rows?  Uses
+    ``limit(n)`` so the scan stops once ``n`` rows are found — never a
+    full count of a 10^12-row table."""
+    return df.limit(n).count() >= n
 
 
 def dq_report(
@@ -590,11 +604,25 @@ def dq_report(
     spark: SparkSession | None = None,
     sample_cap_rows: int | None = None,
     sample_cap_n: int | None = None,
+    exact: bool | None = None,
 ) -> DataFrame:
     """Entry point matching the reference signature (pandas_dq.py:51).
 
     ``data`` is a Spark DataFrame or a file path (csv/parquet/feather —
     S1-S4 dispatch).  Returns the findings table as a Spark DataFrame.
+
+    ``exact`` selects the physical strategy, never the numbers'
+    meaning:  ``True`` is parity mode (exact ``percentile`` /
+    ``count(DISTINCT)`` / full-row dedup — byte-identical to the
+    reference); ``False`` is engine mode (range-bucketed exact
+    quantiles, ``approx_count_distinct``, 64-bit-hash dup counts —
+    the plans that survive a 10^12-row table).  ``None`` (default)
+    auto-selects by row count, mirroring the reference's own ≥1M
+    sample-cap instinct (pandas_dq.py:113-114): DataFrame inputs with
+    ≥ ``sample_cap_rows`` rows (bounded ``limit`` probe, not a full
+    count) run in engine mode; smaller inputs and path inputs (which
+    the sample cap already shrinks to ~``sample_cap_n`` rows) run in
+    parity mode.
     """
     from ..sources.io import read_any
 
@@ -615,9 +643,15 @@ def dq_report(
                 f"Sample size = {cap_n} rows."
             )
             df = df.sample(fraction=cap_n / total, seed=99)
+        if exact is None:
+            # path inputs are already capped to ~cap_n rows by the
+            # sample above, so parity mode is always safe here
+            exact = True
     else:
         df = data
-    rep = build_dq_report(df, target=target)
+        if exact is None:
+            exact = not _at_least_rows(df, cap_rows)
+    rep = build_dq_report(df, target=target, exact=exact)
     if html:
         # reference: verbose==0 writes the 2-row summary, else the
         # per-column findings (pandas_dq.py:519-523)

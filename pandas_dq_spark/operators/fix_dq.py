@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.skew import fit_yeo_johnson_lambda, yeo_johnson_col, yeo_johnson_transform_np
@@ -38,6 +38,13 @@ class FixDQState:
     upper_bounds_: dict[str, float] = field(default_factory=dict)
     # col -> ("log1p", None) | ("yeo-johnson", (lmbda, mean, std))
     col_transformers_: dict[str, tuple] = field(default_factory=dict)
+
+
+# oversized-rare-set join (step 4b): explicitly broadcast the
+# rare-value build side up to this many distinct values (~tens of MB
+# of short strings); beyond it, fall back to a shuffle join and let
+# AQE's skew handling split any hot imputed-fill partition
+RARE_BROADCAST_CAP = 1_000_000
 
 
 class FixDQ:
@@ -240,7 +247,7 @@ class FixDQ:
             else:
                 imputed_str[c] = F.col(c)
         rare_by_col: dict[str, list] = {}
-        rare_window_cols: dict[str, int] = {}  # col -> non-null total
+        rare_join_cols: dict[str, int] = {}  # col -> non-null total
         if str_cols:
             vc = (
                 X.select(
@@ -274,15 +281,46 @@ class FixDQ:
                         rare_by_col.setdefault(str_cols[r["ci"]], []).append(r["val"])
                 for i, cnt in sizes.items():
                     if cnt > self.rare_isin_cap:
-                        rare_window_cols[str_cols[i]] = totals.get(i, 1)
+                        rare_join_cols[str_cols[i]] = totals.get(i, 1)
                 rare_vc.unpersist()
             finally:
                 vc.unpersist()
 
+        # 4b. oversized rare sets (> rare_isin_cap values): mark via a
+        #     JOIN against a lazily-recomputed per-column rare-value DF
+        #     instead of `count(*) over (partition by value)` — the
+        #     window would hash every row sharing one value into a
+        #     single task, and the imputed fill ("missing") is exactly
+        #     the hot key that skews it (VERDICT r03 item 2).  The
+        #     rare-value side is an aggregate (one row per DISTINCT
+        #     value), broadcast when it fits, so the hot key either
+        #     never shuffles (broadcast) or is AQE-splittable
+        #     (left-outer sort-merge); either way no single-task stage.
+        X_src = X  # plan before the flag joins — rv must derive from it
+        out_cols = list(X.columns)  # the flag columns are not outputs
+        for c, tot in rare_join_cols.items():
+            flag = f"__rare_flag__{c}"
+            rv = (
+                X_src.select(imputed_str[c].alias("__rare_val"))
+                .filter(F.col("__rare_val").isNotNull())
+                .groupBy("__rare_val")
+                .agg(F.count("*").alias("__cnt"))
+                # same predicate as the isin path: count / non-null
+                # total < rare_threshold
+                .filter(
+                    F.col("__cnt") / F.lit(float(tot)) < F.lit(self.rare_threshold)
+                )
+                .select(F.col("__rare_val").alias(flag))
+            )
+            n_rare = sizes[str_cols.index(c)]
+            if n_rare <= RARE_BROADCAST_CAP:
+                rv = F.broadcast(rv)
+            X = X.join(rv, imputed_str[c] == F.col(flag), "left")
+
         # 5. ONE select expressing impute -> cap -> inf-replace -> rare
         #    -> skew, in the reference's fixed order (pandas_dq.py:1025-1058)
         exprs = []
-        for c in X.columns:
+        for c in out_cols:
             kind = kinds.get(c)
             col = F.col(c)
             if c in st.missing_cols_:
@@ -313,14 +351,12 @@ class FixDQ:
                 col = F.when(
                     col.isin(*rare_by_col[c]), F.lit("Rare")
                 ).otherwise(col)
-            elif kind == "string" and c in rare_window_cols:
-                # huge rare set: distributed window CASE, frequency of
-                # the imputed value vs its non-null total
-                freq = F.count("*").over(
-                    Window.partitionBy(imputed_str[c])
-                ) / F.lit(float(rare_window_cols[c]))
+            elif kind == "string" and c in rare_join_cols:
+                # huge rare set: flag column produced by the 4b join —
+                # non-null match means the imputed value is rare
                 col = F.when(
-                    col.isNotNull() & (freq < self.rare_threshold), F.lit("Rare")
+                    col.isNotNull() & F.col(f"__rare_flag__{c}").isNotNull(),
+                    F.lit("Rare"),
                 ).otherwise(col)
             if kind == "float" and c in st.col_transformers_:
                 name, params = st.col_transformers_[c]
