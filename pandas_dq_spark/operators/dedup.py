@@ -32,6 +32,58 @@ from pyspark.sql import types as T
 _MERSENNE = (1 << 31) - 1
 
 
+class DedupCacheHandle:
+    """Explicit lifecycle for persisted dedup intermediates
+    (VERDICT r03 item 7).
+
+    The LSH operators persist signature tables so the bucket self-join
+    doesn't recompute them per plan subtree.  Two modes:
+
+    - default (no handle): the operator materializes its SMALL product
+      (the dup-id table / verified-pair table), immediately unpersists
+      the O(corpus) signature caches, and tracks the small residue in
+      a module handle freed by :func:`release_dedup_caches`.
+    - explicit handle (``cache=h``): everything persisted is tracked
+      in ``h`` and stays cached — lazily reusable across actions —
+      until ``h.release()`` (or the ``with`` block exits).
+    """
+
+    def __init__(self) -> None:
+        self._tracked: list[DataFrame] = []
+
+    def track(self, df: DataFrame) -> DataFrame:
+        self._tracked.append(df)
+        return df
+
+    def release(self, blocking: bool = False) -> int:
+        n = 0
+        for d in self._tracked:
+            try:
+                d.unpersist(blocking)
+                n += 1
+            except Exception:
+                pass
+        self._tracked.clear()
+        return n
+
+    def __enter__(self) -> "DedupCacheHandle":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
+
+_default_handle = DedupCacheHandle()
+
+
+def release_dedup_caches(blocking: bool = False) -> int:
+    """Unpersist the small materialized outputs (dup-id tables,
+    verified-pair tables) that the default no-handle operator path
+    leaves cached.  Returns the number of tables released."""
+    return _default_handle.release(blocking)
+
+
 # ---------------------------------------------------------------- exact
 def exact_duplicates(
     df: DataFrame, id_col: str, text_col: str = "text"
@@ -81,6 +133,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    cache: DedupCacheHandle | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signature table, JVM-side.
 
@@ -131,6 +184,9 @@ def minhash_signatures(
     ).persist()
     sig.count()  # materialize before releasing the word-hash arrays
     word_hashes.unpersist()
+    # the persisted signature table is reclaimable: via the caller's
+    # handle, or release_dedup_caches() on the default path
+    (cache or _default_handle).track(sig)
     return sig
 
 
@@ -268,6 +324,7 @@ def minhash_lsh_duplicates(
     max_bucket: int = 200,
     collapse_identical: bool = False,
     stats: dict | None = None,
+    cache: DedupCacheHandle | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup marking.
 
@@ -281,7 +338,11 @@ def minhash_lsh_duplicates(
     extra shuffle on corpora with a high exact-dup rate where exact
     dedup has NOT already run)."""
     rows = num_hashes // bands
-    base = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    own = cache is None
+    h = cache if cache is not None else DedupCacheHandle()
+    base = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed, cache=h
+    )
     if collapse_identical:
         reps, ident_dups = _split_identical(base, "sig")
     else:
@@ -321,6 +382,13 @@ def minhash_lsh_duplicates(
     if ident_dups is not None:
         dup_ids = dup_ids.unionByName(ident_dups)
     dup_ids = dup_ids.distinct()
+    if own:
+        # default lifecycle: materialize the tiny dup-id table, free
+        # the O(corpus) signature cache NOW; the residue is released
+        # via release_dedup_caches() (r03 item 7)
+        dup_ids = _default_handle.track(dup_ids.persist())
+        dup_ids.count()
+        h.release()
     return df.join(
         dup_ids.withColumn("is_near_dup", F.lit(True)),
         df[id_col] == dup_ids["id"],
@@ -372,6 +440,7 @@ def simhash_duplicates(
     max_bucket: int = 200,
     collapse_identical: bool = False,
     stats: dict | None = None,
+    cache: DedupCacheHandle | None = None,
 ) -> DataFrame:
     """SimHash near-dup: band the 64 bits into ``bands`` 16-bit keys —
     any pair within hamming distance < bands shares >= 1 exact band
@@ -379,9 +448,13 @@ def simhash_duplicates(
     with popcount.  Buckets above ``max_bucket`` degrade to star
     comparisons; ``collapse_identical`` optionally dedups identical
     hashes pre-banding (see minhash_lsh_duplicates)."""
-    base = df.select(
-        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
-    ).persist()  # compute the UDF once, not on both join sides
+    own = cache is None
+    h = cache if cache is not None else DedupCacheHandle()
+    base = h.track(
+        df.select(
+            F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
+        ).persist()  # compute the UDF once, not on both join sides
+    )
     if collapse_identical:
         reps, ident_dups = _split_identical(base, "sh")
     else:
@@ -411,6 +484,10 @@ def simhash_duplicates(
     if ident_dups is not None:
         dup_ids = dup_ids.unionByName(ident_dups)
     dup_ids = dup_ids.distinct()
+    if own:
+        dup_ids = _default_handle.track(dup_ids.persist())
+        dup_ids.count()
+        h.release()
     return df.join(
         dup_ids.withColumn("is_near_dup", F.lit(True)),
         df[id_col] == dup_ids["id"],
@@ -439,6 +516,7 @@ def ngram_jaccard_pairs(
     max_bucket: int = 200,
     stats: dict | None = None,
     exhaustive: bool = False,
+    cache: DedupCacheHandle | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-generated candidate pairs: a
     cheap 8-hash MinHash banding proposes candidates, exact
@@ -448,8 +526,10 @@ def ngram_jaccard_pairs(
     ``exhaustive=True`` skips candidate generation and verifies EVERY
     pair (recall exactly 1) — the verification/oracle mode for small
     inputs; it is quadratic by construction, never use it at scale."""
+    own = cache is None
+    h = cache if cache is not None else DedupCacheHandle()
     sh = word_shingles(text_col, shingle_n)
-    base = (
+    base = h.track(
         df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .persist()
@@ -457,28 +537,38 @@ def ngram_jaccard_pairs(
     if exhaustive:
         ex_a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         ex_b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-        return (
+        out = (
             ex_a.join(ex_b, F.col("id_a") < F.col("id_b"))
             .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    withsig = minhash_signatures(df, id_col, text_col, bucket_hashes, shingle_n)
-    buckets = withsig.select(
-        "id", F.explode(F.col("sig")).alias("bh"), F.lit(0).alias("pay")
-    )
-    pairs = _capped_bucket_pairs(
-        buckets, ["bh"], "pay", max_bucket, stats=stats
-    ).select("id_a", "id_b")
-    a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    else:
+        withsig = minhash_signatures(
+            df, id_col, text_col, bucket_hashes, shingle_n, cache=h
+        )
+        buckets = withsig.select(
+            "id", F.explode(F.col("sig")).alias("bh"), F.lit(0).alias("pay")
+        )
+        pairs = _capped_bucket_pairs(
+            buckets, ["bh"], "pay", max_bucket, stats=stats
+        ).select("id_a", "id_b")
+        a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        out = (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    if own:
+        # default lifecycle: materialize the verified-pair table, then
+        # free the O(corpus) shingle/signature caches (r03 item 7)
+        out = _default_handle.track(out.persist())
+        out.count()
+        h.release()
+    return out
 
 
 # ------------------------------------------------- embedding near-dup

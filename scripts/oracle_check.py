@@ -55,6 +55,156 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# ---- non-DuckDB oracles for the LSH queries (VERDICT r03 item 4) ----
+#
+# The driver's gate is DuckDB-only, so m_minhash_near_dups and
+# m_simhash_near_dups were `no_oracle`.  These seeded brute-force
+# oracles close that: pure-python/numpy reimplementations (independent
+# of the Spark operators' vectorized kernels) compute exact Jaccard
+# over word-shingle sets and exact Hamming over driver-computed
+# FNV-1a/bit-plane simhashes, then bound what the LSH output may be.
+
+
+def _py_word_shingles(text: str, n: int = 3) -> set:
+    """Word n-gram shingles, mirroring dedup.word_shingles semantics
+    (trim -> split on whitespace runs; < n words -> empty set)."""
+    w = (text or "").strip().split()
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _py_simhash(text: str) -> int:
+    """64-bit SimHash: FNV-1a per whitespace token, +/-1 per bit
+    plane, sign -> bit.  Plain-python spec the numpy simhash_udf must
+    agree with (same convention: acc > 0 sets the bit)."""
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    counts = [0] * 64
+    for tok in toks:
+        h = 0xCBF29CE484222325
+        for byte in tok.encode("utf-8"):
+            h ^= byte
+            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        for b in range(64):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if counts[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+def check_minhash_oracle(
+    spark, sf_dir: str, threshold: float = 0.6, margin: float = 0.25
+) -> dict:
+    """MinHash+LSH vs exact shingle Jaccard.
+
+    With 64 hashes, Hoeffding gives P(|match_frac - J| >= margin)
+    <= 2*exp(-2*64*margin^2) ~ 7e-4 per pair at margin 0.25, so on a
+    fixed seed the flagged set must sit between
+    {exists smaller-id pair with J >= threshold+margin}  (must flag)
+    and
+    {exists smaller-id pair with J >= threshold-margin}  (may flag).
+    """
+    from collections import defaultdict
+
+    from pandas_dq_spark.operators.dedup import minhash_lsh_duplicates
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    sh = {int(r.doc_id): _py_word_shingles(r.text) for r in docs.itertuples()}
+
+    # exact max-Jaccard vs any smaller id, via a shingle inverted
+    # index (pairs sharing no shingle have J = 0 and are skipped)
+    inv = defaultdict(list)
+    for i in sorted(sh):
+        for g in sh[i]:
+            inv[g].append(i)
+    cand = defaultdict(set)
+    for members in inv.values():
+        for ai, a in enumerate(members):
+            for b in members[ai + 1 :]:
+                cand[b].add(a)
+    best: dict[int, float] = {}
+    for b, aset in cand.items():
+        sb = sh[b]
+        for a in aset:
+            sa = sh[a]
+            j = len(sa & sb) / len(sa | sb)
+            if j > best.get(b, 0.0):
+                best[b] = j
+
+    sdf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_lsh_duplicates(sdf, "doc_id", threshold=threshold)
+    actual = {int(r["doc_id"]) for r in out.filter("is_near_dup").collect()}
+
+    must = {b for b, j in best.items() if j >= threshold + margin}
+    allowed = {b for b, j in best.items() if j >= threshold - margin}
+    missing = must - actual
+    extra = actual - allowed
+    assert not missing, f"minhash missed high-Jaccard dups: {sorted(missing)[:10]}"
+    assert not extra, f"minhash flagged low-Jaccard docs: {sorted(extra)[:10]}"
+    return {
+        "n_docs": len(sh),
+        "flagged": len(actual),
+        "must_flag": len(must),
+        "may_flag": len(allowed),
+    }
+
+
+def check_simhash_oracle(spark, sf_dir: str, max_hamming: int = 3) -> dict:
+    """SimHash vs exact Hamming distance on driver-computed hashes.
+
+    bands=4 pigeonholes every pair within hamming <= 3 into a shared
+    band, and verification is an exact popcount, so with an uncapped
+    bucket size the flagged set must EQUAL
+    {b : exists a < b with hamming(h_a, h_b) <= max_hamming};
+    with the default cap it must be a subset (star comparisons can
+    only miss, never invent)."""
+    import numpy as np
+
+    from pandas_dq_spark.operators.dedup import simhash_duplicates
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    ids = docs["doc_id"].astype(int).to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    hs = np.array(
+        [_py_simhash(t) for t in docs["text"].to_numpy()[order]],
+        dtype=np.uint64,
+    )
+    n = len(ids)
+    x = hs[:, None] ^ hs[None, :]
+    pc = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
+    close = pc <= max_hamming
+    expected = {
+        int(ids[b]) for a in range(n) for b in range(a + 1, n) if close[a, b]
+    }
+
+    sdf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = simhash_duplicates(
+        sdf, "doc_id", max_hamming=max_hamming, max_bucket=10**9
+    )
+    actual_full = {int(r["doc_id"]) for r in full.filter("is_near_dup").collect()}
+    assert actual_full == expected, (
+        f"simhash mismatch: missed {sorted(expected - actual_full)[:10]}, "
+        f"extra {sorted(actual_full - expected)[:10]}"
+    )
+    capped = simhash_duplicates(sdf, "doc_id", max_hamming=max_hamming)
+    actual_capped = {
+        int(r["doc_id"]) for r in capped.filter("is_near_dup").collect()
+    }
+    assert actual_capped <= expected, "capped simhash invented pairs"
+    return {"n_docs": n, "flagged": len(actual_full), "expected": len(expected)}
+
+
+NONSQL_ORACLES = {
+    "m_minhash_near_dups": check_minhash_oracle,
+    "m_simhash_near_dups": check_simhash_oracle,
+}
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -111,6 +261,16 @@ def main() -> None:
             if not ok_cols:
                 print(f"  spark cols:  {list(a.columns)}")
                 print(f"  oracle cols: {list(b.columns)}")
+            n_fail += 1
+    for name, check in NONSQL_ORACLES.items():
+        if only and name not in only:
+            continue
+        try:
+            stats = check(spark, sf)
+            print(f"pass {name} [brute-force oracle]: {stats}")
+            n_pass += 1
+        except AssertionError as ex:
+            print(f"FAIL {name} [brute-force oracle]: {ex}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} FAIL")
     sys.exit(1 if n_fail else 0)

@@ -445,9 +445,11 @@ def test_multimodal_resize_and_audio_stages(spark):
         assert 0.0 < r["spectral_centroid_hz"] < 8000.0  # below Nyquist
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="codecs unavailable"):
+    # real mode on payloads that aren't BMP/WAV: the NotImplementedError
+    # now names the formats that truly need external libs (r04 item 5)
+    with _pytest.raises(Exception, match="BMP only"):
         resize_images(imgs, 8, 8, decode_mode="real").collect()
-    with _pytest.raises(Exception, match="codecs unavailable"):
+    with _pytest.raises(Exception, match="WAV only"):
         audio_features(auds, decode_mode="real").collect()
 
 
@@ -458,3 +460,169 @@ def test_multimodal_real_mode_is_explicit_stub(spark):
 
     with pytest.raises((PythonException, Py4JJavaError)):
         extract_features(media, decode_mode="real").collect()
+
+
+# ---- real-mode codecs: dependency-free BMP/WAV (VERDICT r04 item 5) --
+
+
+def test_bmp_codec_roundtrip_and_layout():
+    from pandas_dq_spark.operators.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    # width 5 forces 4-byte row padding (15 bytes -> 16)
+    img = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)
+    payload = encode_bmp(img)
+    assert payload[:2] == b"BM"
+    assert np.array_equal(decode_bmp(payload), img)
+    # known 1x1 red pixel, hand-built header (bottom-up BGR)
+    one = encode_bmp(np.array([[[255, 0, 0]]], dtype=np.uint8))
+    import struct as _struct
+
+    pix_off = _struct.unpack_from("<I", one, 10)[0]
+    assert one[pix_off : pix_off + 3] == b"\x00\x00\xff"  # BGR
+
+
+def test_wav_codec_roundtrip_and_stereo_downmix():
+    from pandas_dq_spark.operators.codecs import decode_wav, encode_wav
+    import struct as _struct
+
+    sr, n = 8000, 800
+    t = np.arange(n) / sr
+    w = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    wave, got_sr = decode_wav(encode_wav(w, sr))
+    assert got_sr == sr
+    assert np.max(np.abs(wave - w)) < 1.0 / 32767  # 16-bit quantization
+    # stereo 16-bit: channels averaged to mono
+    stereo = np.stack([w, -w], axis=1).ravel()
+    pcm = np.clip(np.round(stereo * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 2, sr, sr * 4, 4, 16)
+    payload = (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    mono, _ = decode_wav(payload)
+    assert np.max(np.abs(mono)) < 1.0 / 32767  # w + (-w) ≈ 0
+
+
+def test_real_mode_resize_roundtrips_bmp(spark):
+    from pandas_dq_spark.operators.codecs import decode_bmp, encode_bmp
+    from pandas_dq_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_bilinear_np,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(5)
+    rows, imgs = [], {}
+    for i in range(6):
+        w0, h0 = 8 + 4 * i, 6 + 2 * i
+        img = rng.integers(0, 256, (h0, w0, 3)).astype(np.uint8)
+        imgs[i] = img
+        rows.append((i, "image", bytearray(encode_bmp(img)), (w0, h0, None, None)))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 16, 12, decode_mode="real").collect()}
+    assert len(out) == 6
+    for i, img in imgs.items():
+        got = decode_bmp(bytes(out[i]["payload"]))
+        exp = resize_bilinear_np(img, 16, 12)
+        assert np.array_equal(got, exp), i
+        assert out[i]["meta"]["width"] == 16 and out[i]["meta"]["height"] == 12
+
+
+def test_real_mode_audio_features_wav_analytic(spark):
+    from pandas_dq_spark.operators.codecs import encode_wav
+    from pandas_dq_spark.operators.multimodal import MEDIA_SCHEMA, audio_features
+
+    sr, f0, n = 16000, 1000.0, 16000
+    t = np.arange(n) / sr
+    w = 0.25 * np.sin(2 * np.pi * f0 * t)
+    # meta sample_rate deliberately WRONG (real mode must use the
+    # file header's rate, not meta)
+    rows = [(0, "audio", bytearray(encode_wav(w, sr)), (None, None, 999, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    r = audio_features(df, decode_mode="real").collect()[0]
+    assert r["n_samples"] == n
+    assert abs(r["rms"] - 0.25 / np.sqrt(2)) < 1e-3
+    assert abs(r["spectral_centroid_hz"] - f0) < 2.0
+    assert abs(r["zero_crossing_rate"] - 2 * f0 / sr) < 1e-3
+
+
+def test_real_mode_extract_features_decoded_histogram(spark):
+    from pandas_dq_spark.operators.codecs import encode_bmp, encode_wav
+    from pandas_dq_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    # all-black image -> every decoded value in bin 0
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    # constant +1.0 waveform -> every sample in the TOP bin
+    w = np.ones(100)
+    rows = [
+        (0, "image", bytearray(encode_bmp(img)), (4, 4, None, None)),
+        (1, "audio", bytearray(encode_wav(w, 8000)), (None, None, 8000, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"] for r in
+             extract_features(df, decode_mode="real").collect()}
+    assert feats[0][0] == pytest.approx(1.0)
+    assert feats[1][-1] == pytest.approx(1.0)
+
+
+# ---- cache lifecycle for signature tables (VERDICT r04 item 7) -------
+
+
+def test_default_path_releases_signature_caches(spark, monkeypatch):
+    import pandas_dq_spark.operators.dedup as dd
+
+    df = _near_dup_corpus(spark, n_base=15)
+    captured = []
+    orig_sig = dd.minhash_signatures
+
+    def capturing(*a, **k):
+        sig = orig_sig(*a, **k)
+        captured.append(sig)
+        return sig
+
+    monkeypatch.setattr(dd, "minhash_signatures", capturing)
+    dd.release_dedup_caches()
+    before = len(dd._default_handle._tracked)
+
+    out = dd.minhash_lsh_duplicates(df, "doc_id", threshold=0.6)
+    # the O(corpus) signature table was unpersisted at call time...
+    assert captured and captured[0].is_cached is False
+    # ...and only the tiny dup-id residue is tracked for later release
+    residue = dd._default_handle._tracked[before:]
+    assert len(residue) == 1 and residue[0].is_cached
+    assert out.filter("is_near_dup").count() > 0  # result still correct
+    assert dd.release_dedup_caches() >= 1
+    assert residue[0].is_cached is False
+
+    # ngram: shingle base AND bucket signatures both freed eagerly
+    captured.clear()
+    pairs = dd.ngram_jaccard_pairs(df, "doc_id", threshold=0.5)
+    assert captured and captured[0].is_cached is False
+    assert pairs.count() > 0
+    dd.release_dedup_caches()
+
+
+def test_explicit_handle_keeps_then_releases(spark):
+    from pandas_dq_spark.operators.dedup import (
+        DedupCacheHandle,
+        minhash_lsh_duplicates,
+        simhash_duplicates,
+    )
+
+    df = _near_dup_corpus(spark, n_base=15)
+    h = DedupCacheHandle()
+    with h:
+        out = minhash_lsh_duplicates(df, "doc_id", threshold=0.6, cache=h)
+        out2 = simhash_duplicates(df, "doc_id", cache=h)
+        tracked = list(h._tracked)
+        assert tracked and all(d.is_cached for d in tracked)
+        # lazily reusable across actions while the handle is open
+        assert out.filter("is_near_dup").count() > 0
+        assert out2.filter("is_near_dup").count() > 0
+    assert all(not d.is_cached for d in tracked)
+    assert h._tracked == []
