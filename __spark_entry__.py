@@ -67,6 +67,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ------------------------------------------------------------- queries
+# A small number of entries are EAGER at construction time — they run
+# bounded Spark jobs while building the returned DataFrame and bake
+# the results in as literals (ADVICE r03): a10_outlier_counts collects
+# range-bucketed quantile fences (O(n_cols * n_buckets) driver rows),
+# and the m_minhash/m_simhash entries materialize their dup-id tables
+# (cache-lifecycle default path).  The returned DataFrame reflects the
+# table as of construction; rebuild the query if the input changes.
+EAGER_QUERIES = {
+    "a10_outlier_counts",
+    "a10_outlier_nan",
+    "m_minhash_near_dups",
+    "m_simhash_near_dups",
+    "j_ngram_jaccard",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {}
 

@@ -7,6 +7,14 @@ applied inside ``foreachBatch`` or directly on a streaming DataFrame
 (stats/rules/scrub are stateless projections, so they stream as-is;
 only the exact-dedup mark, which needs a global shuffle, is replaced
 by ``dropDuplicatesWithinWatermark`` in streaming mode).
+
+Output-schema changelog (ADVICE r03): round 3 widened the per-doc UDF
+struct, so ``streaming_quality_filter`` output gained four columns —
+``n_chars``, ``symbol_ratio``, ``repeated_line_frac``,
+``ellipsis_line_frac``.  A streaming query restarted against a sink/
+checkpoint written under the pre-r3 schema may fail or diverge on the
+mismatch: restart into a FRESH sink (or one with schema evolution,
+e.g. Iceberg ``mergeSchema``) after upgrading.
 """
 
 from __future__ import annotations

@@ -30,6 +30,48 @@ SCRUB_RULES: list[tuple[str, str, str]] = [
 ]
 
 
+# characters/words whose ABSENCE in a text guarantees the rule's
+# pattern cannot match — what each scrub_col gate tests for
+_GATE_TRIGGERS: dict[str, list[str]] = {
+    "email": ["@"],
+    "ssn": ["-"] + list("0123456789"),
+    "phone": list("0123456789"),
+    "ip": list("0123456789"),
+    "toxicity": list(TOX_WORDS),
+}
+
+
+def _assert_gate_safety() -> None:
+    """Enforce the invariant the gated chain and the pii_hit_count
+    short-circuit both rest on (ADVICE r03): no rule's REPLACEMENT may
+    contain a gate-trigger character/word — or an outright pattern
+    match — of the SAME or any LATER rule.  Gates consult the ORIGINAL
+    text, so a replacement that introduced a later trigger would make
+    the gate silently skip a rule that should fire; a replacement that
+    matched a later pattern would break 'a firing rule always changes
+    the text'.  Runs at import so editing SCRUB_RULES cannot silently
+    violate it."""
+    for i, (_ni, _pi, repl_i) in enumerate(SCRUB_RULES):
+        for name_j, pat_j, _rj in SCRUB_RULES[i:]:
+            for trig in _GATE_TRIGGERS[name_j]:
+                if trig in repl_i:
+                    raise AssertionError(
+                        f"scrub rule replacement {repl_i!r} contains "
+                        f"{trig!r}, a gate trigger of later rule "
+                        f"{name_j!r} — gates consult the original text, "
+                        "so this would skip a rule that should fire"
+                    )
+            if re.search(pat_j, repl_i):
+                raise AssertionError(
+                    f"scrub rule replacement {repl_i!r} matches the "
+                    f"pattern of rule {name_j!r} — replacing would "
+                    "create new matches / not change the text"
+                )
+
+
+_assert_gate_safety()
+
+
 def scrub_col(c: Column) -> Column:
     """Apply the full chain as nested regexp_replace expressions —
     single projection, whole-stage codegen, no Python.

@@ -23,6 +23,11 @@ def main() -> None:
     qs = entrymod.queries()
     for name in ["q3_segment_revenue", "q5_nation_revenue", "s_cosine_topk", "a10_outlier_counts"]:
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
+        if name in entrymod.EAGER_QUERIES:
+            # eager entries run bounded jobs at construction (quantile
+            # fences / dup-id materialization) — the plan below shows
+            # the FINAL job with those results baked in as literals
+            print("[eager at construction — see __spark_entry__.EAGER_QUERIES]")
         qs[name](spark, SF).explain("formatted")
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")

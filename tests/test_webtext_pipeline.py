@@ -285,3 +285,53 @@ def test_batch_filter_prunes_before_udf_and_verdict_cached(spark, tmp_path):
         assert udf_i < scan_i  # tree prints top-down: UDF above the scan
     finally:
         verdict.unpersist()
+
+
+def test_pii_hit_count_golden(spark):
+    """ADVICE r03: pin the pii_hit_count short-circuit — the count with
+    the scrubbed-text fast path, the count without it, and a plain
+    python `re` reference must agree on fixture + adversarial text."""
+    import re as _re
+
+    from pandas_dq_spark.webtext.scrub import (
+        SCRUB_RULES,
+        pii_hit_count,
+        scrub_col,
+    )
+
+    pdf = pages_pdf(300)[["url", "text"]].dropna(subset=["text"])
+    adversarial = pd.DataFrame(
+        {
+            "url": [f"adv{i}" for i in range(7)],
+            "text": [
+                "",
+                "reach me at a.b+c@ex-ample.co.uk or 212-555-0199 now",
+                "ssn 123-45-6789 ip 10.0.0.1 phone (212) 555-0199",
+                "clean prose with no personal data whatsoever",
+                "dash-but-no-digit and an @ sign alone",
+                "<EMAIL> already scrubbed plus a fresh 999-99-9999",
+                "1.2.3.4.5 almost an ip and 12-34-5678 almost an ssn",
+            ],
+        }
+    )
+    pdf = pd.concat([pdf, adversarial], ignore_index=True)
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        sdf.select(
+            "url",
+            pii_hit_count(F.col("text")).alias("hits_direct"),
+            pii_hit_count(F.col("text"), scrub_col(F.col("text"))).alias(
+                "hits_shortcircuit"
+            ),
+        )
+        .toPandas()
+        .set_index("url")
+    )
+    assert len(out) == len(pdf)
+    n_nonzero = 0
+    for url, t in zip(pdf["url"], pdf["text"]):
+        exp = sum(1 for _, pat, _ in SCRUB_RULES if _re.search(pat, t))
+        assert out.loc[url, "hits_direct"] == exp, (url, t)
+        assert out.loc[url, "hits_shortcircuit"] == exp, (url, t)
+        n_nonzero += exp > 0
+    assert n_nonzero > 0  # fixture must exercise the firing path
