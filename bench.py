@@ -55,16 +55,19 @@ def main() -> None:
     # warm-up: JVM/codegen/Arrow init
     qs["a2_distinct_counts"](spark, SF_DIR).collect()
 
-    # best-of-2 per query: this sandbox VM shows 2-3x run-to-run noise
-    # (host contention); min reflects the engine, not the neighbors
+    # best-of-3 per query, spread reported (VERDICT r03 item 3): this
+    # sandbox VM shows 2-3x run-to-run noise (host contention); min
+    # reflects the engine, max-min quantifies how noisy the window was
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
+        spreads[name] = round(max(runs) - min(runs), 4)
 
     # flagship: full quality-filter pipeline over documents-as-pages
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -131,6 +134,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf),
                 "docs_per_sec": round(n_big / big_sec, 2),
                 "n_docs": n_big,
