@@ -275,7 +275,16 @@ def build_dq_report(
 
         dup_rows = duplicate_row_count_hashed(df)
     if dup_rows > 0:
-        df = df.dropDuplicates()
+        if exact:
+            df = df.dropDuplicates()
+        else:
+            # engine mode: group on the same 64-bit row hash the count
+            # used — the shuffle compares 8-byte keys instead of full
+            # rows (same collision model as the hashed count)
+            h = F.xxhash64(*[F.col(c) for c in df.columns])
+            df = df.withColumn("__rowhash", h).dropDuplicates(
+                ["__rowhash"]
+            ).drop("__rowhash")
 
     if dup_cols:
         df = df.select(*[F.col(f"__c{i}").alias(names[i]) for i in keep_idx])

@@ -181,3 +181,16 @@ def test_fixdq_oversized_rare_set_joins_not_windows(spark):
     rare_expected = {v for v in counts.index if counts[v] / counts.sum() < 0.01}
     if rare_expected == set(counts.index):
         assert set(got.loc[got["cat"] != "missing", "cat"]) == {"Rare"}
+
+
+def test_engine_mode_dup_drop_hashed(messy, monkeypatch):
+    sdf, _ = messy
+    dup = sdf.unionByName(sdf.limit(50))  # 50 exact duplicate rows
+    rec = _PlanRecorder(monkeypatch, sdf)
+    eng = dq_report(dup, exact=False, verbose=-1).toPandas()
+    # the dedup-drop path grouped on the 64-bit row hash, not full rows
+    assert "__rowhash" in rec.joined()
+    par = dq_report(dup, exact=True, verbose=-1).toPandas()
+    # duplicate finding and post-drop profile agree across modes
+    assert (par["dq_issue"] == eng["dq_issue"]).mean() >= 0.9
+    assert list(par["missing_values_pct"]) == list(eng["missing_values_pct"])
