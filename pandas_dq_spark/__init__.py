@@ -8,6 +8,7 @@ north rule mandates (see BASELINE.json / SURVEY.md §7).
 
 from .operators.classify import classify_columns
 from .operators.dc_report import build_dc_report, dc_report
+from .operators.dedup import DedupCacheHandle, release_dedup_caches
 from .operators.dq_report import DQReport, build_dq_report, dq_report
 from .operators.fix_dq import FixDQ, FixDQState
 from .operators.ks import (
@@ -62,6 +63,8 @@ __all__ = [
     "mixed_type_report",
     "write_to_html",
     "DataSchemaChecker",
+    "DedupCacheHandle",
+    "release_dedup_caches",
     "FixDQ",
     "Fix_DQ",
     "FixDQState",
