@@ -98,3 +98,55 @@ def test_dedup_output_has_no_duplicate_keys(spark):
     out = dedup_exact(spark.createDataFrame(pdf), "doc_id")
     assert out.count() == 30
     assert out.groupBy("text").count().filter("count > 1").count() == 0
+
+
+# ---- codec roundtrip properties (r04: operators/codecs.py) ----------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    from pandas_dq_spark.operators.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+        min_size=0,
+        max_size=200,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, sr):
+    from pandas_dq_spark.operators.codecs import decode_wav, encode_wav
+
+    w = np.asarray(samples, dtype=np.float64)
+    wave, got_sr = decode_wav(encode_wav(w, sr))
+    assert got_sr == sr
+    assert wave.shape == w.shape
+    if w.size:
+        # encode scales by 32767, decode divides by 32768 (standard
+        # PCM asymmetry): error <= |w|/32768 + rounding half-step
+        assert np.max(np.abs(wave - w)) <= 1.0 / 32768 + 0.5 / 32768 + 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=64))
+def test_sniff_rejects_arbitrary_bytes(payload):
+    from pandas_dq_spark.operators.codecs import decode_bmp, decode_wav, sniff_format
+
+    kind = sniff_format(payload)
+    if kind == "unknown":
+        with pytest.raises(Exception):
+            decode_bmp(payload)
+        with pytest.raises(Exception):
+            decode_wav(payload)
