@@ -80,6 +80,23 @@ EAGER_QUERIES = {
     "m_minhash_near_dups",
     "m_simhash_near_dups",
     "j_ngram_jaccard",
+    # frequency denominators computed by a construction-time count
+    "a7_value_counts",
+    "a14_class_balance",
+    # KS statistics are scalar VALUES — the whole job runs at build
+    "a17_ks_statistic",
+    "a17b_ks_many",
+    # fused-profile collects at build
+    "a19_id_zero_var",
+    "dq_profile_lineitem",
+    # the report/fit family is eager by design: these run the fused
+    # profile/fit jobs and return a small driver-assembled findings
+    # DataFrame (the reference's own shape — its reports are values,
+    # not plans)
+    "dq_report_orders",
+    "dc_report_events",
+    "fixdq_transform",
+    "schema_checker_events",
 }
 
 

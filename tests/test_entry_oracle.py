@@ -98,3 +98,11 @@ def test_entry_smoke(spark):
     df2 = entrymod.entry(spark)
     assert df.columns == df2.columns
     assert df.count() == df2.count()
+
+
+def test_eager_queries_declared_consistently():
+    # EAGER_QUERIES documents which entries run jobs at construction
+    # (ADVICE r03); every name must be a real queries() entry
+    import __spark_entry__ as e
+
+    assert e.EAGER_QUERIES <= set(e.queries().keys())
