@@ -88,12 +88,19 @@ def release_dedup_caches(blocking: bool = False) -> int:
 def exact_duplicates(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
-    """Adds is_dup: survivor = min(id) per sha2(text) group."""
+    """Adds is_dup: survivor = min(id) per sha2(text) group.
+
+    Skew-safe (r4): ``groupBy(min)`` finds survivors with map-side
+    partial aggregation (an identical-doc flood collapses to one row
+    per task pre-shuffle); membership is an AQE-splittable inner join
+    rather than a per-hash window that would co-locate every copy of
+    one viral doc in a single task."""
     h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     slim = df.select(F.col(id_col).alias("__id"), h.alias("__h"))
-    w = Window.partitionBy("__h").orderBy("__id")
-    verdict = slim.withColumn("__rn", F.row_number().over(w)).select(
-        F.col("__id").alias(id_col), (F.col("__rn") > 1).alias("is_dup")
+    survivors = slim.groupBy("__h").agg(F.min("__id").alias("__surv"))
+    verdict = slim.join(survivors, "__h").select(
+        F.col("__id").alias(id_col),
+        (F.col("__id") != F.col("__surv")).alias("is_dup"),
     )
     return df.join(verdict, id_col, "left")
 

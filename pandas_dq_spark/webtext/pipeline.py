@@ -29,7 +29,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .heuristics import QualityConfig, rule_exprs
@@ -63,13 +63,20 @@ def duplicate_urls(
     Only (hash, url) — ~50 bytes/row — is shuffled; the text never
     moves.  The result is tiny for realistic dup rates.  Batch runners
     persist this once and reuse it across bucket batches (the verdict
-    must see ALL buckets — a survivor may live in another bucket)."""
+    must see ALL buckets — a survivor may live in another bucket).
+
+    Skew note (r4): the survivor is found by ``groupBy(min)`` — whose
+    map-side partial aggregation collapses an identical-doc flood to
+    one row per task BEFORE the shuffle — and membership by an inner
+    join, which AQE's skew handling can split.  The previous
+    ``row_number() over (partition by hash)`` required every copy of
+    one viral page co-located in a single unsplittable task."""
     h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     slim = df.select(F.col(url_col).alias("__u"), h.alias("__h"))
-    w = Window.partitionBy("__h").orderBy("__u")
+    survivors = slim.groupBy("__h").agg(F.min("__u").alias("__surv"))
     return (
-        slim.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > 1)
+        slim.join(survivors, "__h")
+        .filter(F.col("__u") != F.col("__surv"))
         .select(F.col("__u").alias(url_col))
         .withColumn("__is_dup", F.lit(True))
     )
@@ -84,8 +91,8 @@ def mark_duplicates(
 ) -> DataFrame:
     """Join the dedup verdict back onto the main table.
 
-    The verdict is reduced to just the DUPLICATE urls (rn > 1) and
-    broadcast — so the wide main table is never shuffled.  With
+    The verdict is reduced to just the DUPLICATE urls (non-survivors)
+    and broadcast — so the wide main table is never shuffled.  With
     ``broadcast_dups=False`` (10^12-doc scale where even the dup set
     is huge) the join falls back to sort-merge; co-locate it with the
     output's url-hash bucketing.  Pass a precomputed (persisted)

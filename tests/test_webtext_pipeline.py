@@ -335,3 +335,27 @@ def test_pii_hit_count_golden(spark):
         assert out.loc[url, "hits_shortcircuit"] == exp, (url, t)
         n_nonzero += exp > 0
     assert n_nonzero > 0  # fixture must exercise the firing path
+
+
+def test_dedup_verdict_skew_safe_plan_and_flood(spark):
+    """r4: the exact-dedup survivor is groupBy(min) + join — no
+    per-hash window that would single-task an identical-doc flood."""
+    from pandas_dq_spark.webtext.pipeline import duplicate_urls, mark_duplicates
+
+    rows = [(f"u{i:06d}", "the same viral page body") for i in range(5000)]
+    rows += [(f"x{i:03d}", f"distinct body {i}") for i in range(200)]
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    d = duplicate_urls(sdf)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "hashpartitioning(__h" in plan  # slim (hash,url) shuffle only
+
+    dups = {r["url"] for r in d.collect()}
+    # survivor = lexicographically smallest url of the flood group
+    assert dups == {f"u{i:06d}" for i in range(1, 5000)}
+
+    marked = mark_duplicates(sdf)
+    assert marked.filter("is_dup").count() == 4999
+    assert marked.filter("NOT is_dup").count() == 201
