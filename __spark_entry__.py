@@ -159,17 +159,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q5_nation_revenue"] = q5_nation_revenue
 
     def q_top_customers(spark, sf):
+        # top-k + rank, scale-safe (r4): the global row_number window
+        # over ALL per-customer totals would funnel every aggregate row
+        # into one task; orderBy().limit(k) plans as a distributed
+        # TakeOrderedAndProject (per-partition top-k, merged on the
+        # driver), and the ranking window then runs over exactly k rows
         o = _t(spark, sf, "orders")
         from pyspark.sql import Window
 
         totals = o.groupBy("o_custkey").agg(
             F.round(F.sum("o_totalprice"), 2).alias("total_spent")
         )
-        w = Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
-        return (
-            totals.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 5)
-            .select("o_custkey", "total_spent", "rnk")
+        order = [F.col("total_spent").desc(), F.col("o_custkey")]
+        top = totals.orderBy(*order).limit(5)
+        w = Window.orderBy(*order)  # over <= 5 rows only
+        return top.withColumn("rnk", F.row_number().over(w)).select(
+            "o_custkey", "total_spent", "rnk"
         )
 
     q["q_top_customers"] = q_top_customers
