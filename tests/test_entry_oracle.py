@@ -106,3 +106,18 @@ def test_eager_queries_declared_consistently():
     import __spark_entry__ as e
 
     assert e.EAGER_QUERIES <= set(e.queries().keys())
+
+
+def test_top_customers_plans_as_distributed_topk(spark, sf_dir):
+    # r4: global-rank top-k must be TakeOrderedAndProject (per-partition
+    # top-k + driver merge), with the ranking window confined to the
+    # k=5 result rows — never a window over every aggregate row
+    import __spark_entry__ as e
+
+    df = e.queries()["q_top_customers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert [r["rnk"] for r in rows] == [1, 2, 3, 4, 5]
+    spent = [r["total_spent"] for r in rows]
+    assert spent == sorted(spent, reverse=True)
