@@ -47,9 +47,12 @@ def streaming_quality_filter(
     # line level come out of the one UDF struct)
     scores_udf = make_text_scores_udf(cfg.stopwords)
     out = out.withColumn("__ts", scores_udf(F.col("text")))
-    for fld in TEXT_SCORES_FIELDS:
-        out = out.withColumn(fld, F.col(f"__ts.{fld}"))
-    out = out.drop("__ts")
+    # one select for all struct fields (one analysis pass, not one
+    # per field — same fusion as the batch pipeline, r4)
+    out = out.select(
+        *[c for c in out.columns if c != "__ts"],
+        *[F.col(f"__ts.{fld}").alias(fld) for fld in TEXT_SCORES_FIELDS],
+    )
     if dedup:
         out = out.withColumn(
             "__text_hash", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)

@@ -135,9 +135,13 @@ def quality_filter(
     # (heuristics.add_stats remains as the standalone Catalyst variant)
     scores_udf = make_text_scores_udf(cfg.stopwords, row_counter=udf_row_counter)
     out = out.withColumn("__ts", scores_udf(F.col("text")))
-    for fld in TEXT_SCORES_FIELDS:
-        out = out.withColumn(fld, F.col(f"__ts.{fld}"))
-    out = out.drop("__ts")
+    # ONE select for all struct fields: a per-field withColumn chain
+    # costs one full analysis pass per field (~35% of small-run wall
+    # was driver-side plan construction, measured r4)
+    out = out.select(
+        *[c for c in out.columns if c != "__ts"],
+        *[F.col(f"__ts.{fld}").alias(fld) for fld in TEXT_SCORES_FIELDS],
+    )
     out = mark_duplicates(out, verdict=dup_verdict)
 
     rules = rule_exprs(cfg)
@@ -155,16 +159,19 @@ def quality_filter(
     issues = F.filter(
         F.array(*issue_structs), lambda x: x.isNotNull()
     ).cast(ISSUE_TYPE)
-    out = out.withColumn("issues", issues)
+    out = out.select("*", issues.alias("issues"))
     # dq_issue mirrors the reference's comma-joined DQ Issue string
-    # (pandas_dq.py:308-310), "No issue" fill included (517)
-    out = out.withColumn(
-        "dq_issue",
-        F.when(
-            F.size("issues") == 0, F.lit("No issue")
-        ).otherwise(F.array_join(F.transform(F.col("issues"), lambda x: x["detail"]), ", ")),
+    # (pandas_dq.py:308-310), "No issue" fill included (517);
+    # keep + dq_issue fused into one analysis pass
+    out = out.select(
+        "*",
+        F.when(F.size("issues") == 0, F.lit("No issue"))
+        .otherwise(
+            F.array_join(F.transform(F.col("issues"), lambda x: x["detail"]), ", ")
+        )
+        .alias("dq_issue"),
+        (F.size("issues") == 0).alias("keep"),
     )
-    out = out.withColumn("keep", F.size("issues") == 0)
     if scrub:
         out = out.withColumn("scrubbed_text", scrub_col(F.col("text")))
         # referencing scrubbed_text lets clean docs (text == scrubbed)
