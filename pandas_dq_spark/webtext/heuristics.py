@@ -78,22 +78,19 @@ def add_stats(df: DataFrame, cfg: QualityConfig, text_col: str = "text") -> Data
     n_ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
     n_distinct_lines = F.size(F.array_distinct(lines))
 
-    return (
-        df.withColumn("n_chars", F.length(t))
-        .withColumn(
-            "symbol_ratio",
-            F.when(F.length(t) > 0, n_symbols / F.length(t)).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "repeated_line_frac",
-            F.when(
-                n_lines > 0, 1.0 - n_distinct_lines / n_lines
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "ellipsis_line_frac",
-            F.when(n_lines > 0, n_ellipsis_lines / n_lines).otherwise(F.lit(0.0)),
-        )
+    # one select = one analysis pass (vs one per withColumn, r4)
+    return df.select(
+        "*",
+        F.length(t).alias("n_chars"),
+        F.when(F.length(t) > 0, n_symbols / F.length(t))
+        .otherwise(F.lit(0.0))
+        .alias("symbol_ratio"),
+        F.when(n_lines > 0, 1.0 - n_distinct_lines / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("repeated_line_frac"),
+        F.when(n_lines > 0, n_ellipsis_lines / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("ellipsis_line_frac"),
     )
 
 
