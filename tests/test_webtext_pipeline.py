@@ -359,3 +359,16 @@ def test_dedup_verdict_skew_safe_plan_and_flood(spark):
     marked = mark_duplicates(sdf)
     assert marked.filter("is_dup").count() == 4999
     assert marked.filter("NOT is_dup").count() == 201
+
+
+def test_quality_filter_plan_has_no_window_stage(spark):
+    """r4: after the dedup survivor rewrite the full pipeline contains
+    NO window operator — every stage is either a narrow projection, a
+    partial-aggregable groupBy, or an AQE-splittable join."""
+    from pandas_dq_spark.webtext.fixtures import pages_df
+    from pandas_dq_spark.webtext.heuristics import QualityConfig
+    from pandas_dq_spark.webtext.pipeline import quality_filter
+
+    out = quality_filter(pages_df(spark, 200), QualityConfig(min_words=20))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
