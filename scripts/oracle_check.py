@@ -199,9 +199,126 @@ def check_simhash_oracle(spark, sf_dir: str, max_hamming: int = 3) -> dict:
     return {"n_docs": n, "flagged": len(actual_full), "expected": len(expected)}
 
 
+def check_webtext_oracle(spark, sf_dir: str) -> dict:
+    """w_webtext_keep_stats vs a driver-side plain-python
+    recomputation of the ENTIRE pipeline: per-doc stats from the
+    parity-tested python loop kernel (`loop_scores_frame`, the
+    executable spec the Arrow kernel is hypothesis-tested against),
+    quality rules re-expressed as plain comparisons, exact dedup as a
+    min-url-per-text dict.  Cross-checks the distribution layer —
+    Arrow batching, the dedup shuffle/join, the final aggregation —
+    end to end; langid/ppl share the spec kernel by design (the
+    reference labels for those are frozen goldens, fixture-only)."""
+    from pandas_dq_spark.webtext.heuristics import QualityConfig
+    from pandas_dq_spark.webtext.udfs import loop_scores_frame
+
+    cfg = QualityConfig(min_words=20)
+    docs = (
+        pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    texts = docs["text"].fillna("")
+    sc = loop_scores_frame(texts, frozenset(cfg.stopwords))
+    urls = ["doc://" + str(int(i)).zfill(9) for i in docs["doc_id"]]
+
+    # exact dedup: survivor = lexicographically smallest url per text
+    min_url: dict[str, str] = {}
+    for u, t in zip(urls, texts):
+        if t not in min_url or u < min_url[t]:
+            min_url[t] = u
+
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])  # lang_pred -> [n, n_keep]
+    for i, (u, t) in enumerate(zip(urls, texts)):
+        r = sc.iloc[i]
+        is_dup = min_url[t] != u
+        drop = (
+            (r["n_chars"] == 0 or r["n_words"] == 0)
+            or (0 < r["n_words"] < cfg.min_words)
+            or (r["n_words"] > cfg.max_words)
+            or (
+                r["n_words"] > 0
+                and not (
+                    cfg.min_mean_word_len
+                    <= r["mean_word_len"]
+                    <= cfg.max_mean_word_len
+                )
+            )
+            or (r["symbol_ratio"] > cfg.max_symbol_ratio)
+            or (r["n_words"] > 0 and r["stopword_frac"] < cfg.min_stopword_frac)
+            or (r["repeated_line_frac"] > cfg.max_repeated_line_frac)
+            or (r["ellipsis_line_frac"] > cfg.max_ellipsis_line_frac)
+            or (r["non_alpha_word_frac"] > cfg.max_non_alpha_word_frac)
+            or (
+                r["lang_pred"] != cfg.target_lang
+                or r["lang_score"] < cfg.min_lang_score
+            )
+            or (r["ppl"] > cfg.max_perplexity)
+            or is_dup
+        )
+        a = agg[r["lang_pred"]]
+        a[0] += 1
+        a[1] += 0 if drop else 1
+
+    import __spark_entry__ as entrymod
+
+    got = {
+        r["lang_pred"]: (r["n"], r["n_keep"])
+        for r in entrymod.queries()["w_webtext_keep_stats"](spark, sf_dir).collect()
+    }
+    exp = {k: tuple(v) for k, v in agg.items()}
+    assert got == exp, f"webtext keep stats mismatch: got {got}, expected {exp}"
+    return {"langs": len(exp), "n_docs": len(urls),
+            "n_keep": sum(v[1] for v in exp.values())}
+
+
+def check_mm_media_oracle(spark, sf_dir: str) -> dict:
+    """mm_media_features vs plain numpy on the collected payloads:
+    per-kind counts and average byte sizes must match the mapInPandas
+    aggregate exactly, and each per-media feature vector must equal
+    the numpy byte histogram of its payload."""
+    import numpy as np
+
+    from pandas_dq_spark.operators.multimodal import (
+        _byte_histogram,
+        extract_features,
+        media_fixture,
+    )
+
+    media = media_fixture(spark, 60)
+    rows = media.select("media_id", "kind", "payload").collect()
+    from collections import defaultdict
+
+    sizes = defaultdict(list)
+    for r in rows:
+        sizes[r["kind"]].append(len(bytes(r["payload"] or b"")))
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats) == len(rows)
+    for r in rows:
+        exp = _byte_histogram(bytes(r["payload"] or b""), 32)
+        got = np.asarray(feats[r["media_id"]]["features"], dtype=np.float32)
+        assert np.allclose(got, exp, atol=1e-7), r["media_id"]
+
+    import __spark_entry__ as entrymod
+
+    out = {
+        r["kind"]: (r["n"], r["avg_bytes"])
+        for r in entrymod.queries()["mm_media_features"](spark, sf_dir).collect()
+    }
+    exp_agg = {
+        k: (len(v), round(sum(v) / len(v), 4)) for k, v in sizes.items()
+    }
+    assert out == exp_agg, f"media agg mismatch: got {out}, expected {exp_agg}"
+    return {"kinds": len(exp_agg), "n_media": len(rows)}
+
+
 NONSQL_ORACLES = {
     "m_minhash_near_dups": check_minhash_oracle,
     "m_simhash_near_dups": check_simhash_oracle,
+    "w_webtext_keep_stats": check_webtext_oracle,
+    "mm_media_features": check_mm_media_oracle,
 }
 
 

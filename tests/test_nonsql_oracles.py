@@ -68,3 +68,18 @@ def test_py_simhash_matches_vectorized_udf_spec():
     got = kernel(pd.Series(texts)).to_numpy().astype(np.uint64)
     exp = np.array([_py_simhash(t) for t in texts], dtype=np.uint64)
     assert np.array_equal(got, exp)
+
+
+def test_webtext_keep_stats_brute_force_oracle(spark, sf_dir):
+    from oracle_check import check_webtext_oracle
+
+    stats = check_webtext_oracle(spark, sf_dir)
+    assert stats["n_docs"] > 0
+    assert 0 < stats["n_keep"] < stats["n_docs"]  # both branches exercised
+
+
+def test_mm_media_features_brute_force_oracle(spark, sf_dir):
+    from oracle_check import check_mm_media_oracle
+
+    stats = check_mm_media_oracle(spark, sf_dir)
+    assert stats["kinds"] == 3 and stats["n_media"] == 60
