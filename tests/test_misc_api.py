@@ -84,6 +84,25 @@ def test_sample_cap_on_path_input(spark, tmp_path, capsys):
     out2 = pdq.dq_report(p, spark=spark, sample_cap_rows=10_000)
     assert "Sample size" not in capsys.readouterr().out
     assert out2.count() == 2
+    # r4 exact auto-select: path inputs stay PARITY even when the
+    # sample cap engages (the sample is already bounded, so the
+    # engine-mode probe must not flip them)
+    from pandas_dq_spark.operators import dq_report as dqmod
+
+    calls = []
+    orig = dqmod.build_dq_report
+
+    def spy(df, **kw):
+        calls.append(kw.get("exact"))
+        return orig(df, **kw)
+
+    try:
+        dqmod.build_dq_report, saved = spy, dqmod.build_dq_report
+        pdq.dq_report(p, spark=spark, sample_cap_rows=5000, sample_cap_n=500,
+                      verbose=-1)
+    finally:
+        dqmod.build_dq_report = saved
+    assert calls == [True]
 
 
 def test_html_verbose_dispatch(spark, tmp_path, capsys, monkeypatch):
