@@ -47,6 +47,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         )
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        # a crafted negative biWidth would otherwise surface as a
+        # confusing numpy frombuffer/reshape error (ADVICE r04)
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
     need = pix_off + row_bytes * height
     if len(payload) < need:

@@ -49,21 +49,31 @@ class DedupCacheHandle:
     """
 
     def __init__(self) -> None:
+        import threading
+
         self._tracked: list[DataFrame] = []
+        # the module-level default handle is shared by every no-handle
+        # dedup call in the process; concurrent threads must not
+        # interleave track()/release() (ADVICE r04)
+        self._lock = threading.Lock()
 
     def track(self, df: DataFrame) -> DataFrame:
-        self._tracked.append(df)
+        with self._lock:
+            self._tracked.append(df)
         return df
 
     def release(self, blocking: bool = False) -> int:
+        import warnings
+
+        with self._lock:
+            tracked, self._tracked = self._tracked, []
         n = 0
-        for d in self._tracked:
+        for d in tracked:
             try:
                 d.unpersist(blocking)
                 n += 1
-            except Exception:
-                pass
-        self._tracked.clear()
+            except Exception as ex:  # unpersist is best-effort cleanup
+                warnings.warn(f"dedup cache unpersist failed: {ex}")
         return n
 
     def __enter__(self) -> "DedupCacheHandle":

@@ -660,6 +660,18 @@ def dq_report(
         df = data
         if exact is None:
             exact = not _at_least_rows(df, cap_rows)
+            if not exact:
+                # make the silent mode flip visible at runtime, the way
+                # the path-input sample cap announces itself (ADVICE
+                # r04): engine mode changes the physical strategy
+                # (approx distinct counts, hash-keyed dup counts), so
+                # parity-sensitive callers on >=1M-row frames should
+                # pass exact=True explicitly
+                print(
+                    f"Alert: Detected dataframe size >= {cap_rows} rows. "
+                    "Using scale-safe engine mode (pass exact=True for "
+                    "reference-parity plans)."
+                )
     rep = build_dq_report(df, target=target, exact=exact)
     if html:
         # reference: verbose==0 writes the 2-row summary, else the

@@ -82,8 +82,9 @@ class FixDQ:
         self.engine_mode = engine_mode
         # rare sets up to this size are applied as an isin literal;
         # larger sets (high-cardinality columns, where almost every
-        # value is rare) switch to a fully-distributed window plan so
-        # the driver never materializes them
+        # value is rare) switch to the step-4b rare-value JOIN
+        # (broadcast when the set fits, AQE-splittable shuffle join
+        # otherwise) so the driver never materializes them
         self.rare_isin_cap = rare_isin_cap
         self.state: FixDQState | None = None
 
@@ -237,8 +238,8 @@ class FixDQ:
         #    string columns (posexplode -> (col_idx, value) counts,
         #    map-side combined); the driver sees only per-column
         #    totals, rare-set sizes, and rare sets small enough for an
-        #    isin literal.  Oversized rare sets are applied via a
-        #    window CASE instead (no driver materialization).
+        #    isin literal.  Oversized rare sets are marked via the
+        #    step-4b broadcast/shuffle join (no driver materialization).
         str_cols = [c for c in X.columns if kinds.get(c) == "string"]
         imputed_str: dict[str, Column] = {}
         for c in str_cols:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..webtext.heuristics import QualityConfig, rule_exprs
-from ..webtext.pipeline import ISSUE_TYPE
+from ..webtext.pipeline import ISSUE_TYPE, _drop_reserved
 from ..webtext.scrub import scrub_col
 from ..webtext.udfs import TEXT_SCORES_FIELDS, make_text_scores_udf
 
@@ -40,9 +40,13 @@ def streaming_quality_filter(
     streaming-legal analogue of the batch global dedup).  ``dedup=
     False`` keeps every row (``is_dup`` stays False) — used when the
     consumer chains its own stateful operator (e.g. the windowed
-    metrics aggregation) and wants a single stateful stage."""
+    metrics aggregation) and wants a single stateful stage.
+
+    Score/verdict field names are reserved (see
+    ``webtext.pipeline.RESERVED_OUTPUT_COLS``): colliding input columns
+    are dropped at entry, same as the batch pipeline."""
     cfg = cfg or QualityConfig()
-    out = stream_df.withWatermark(ts_col, watermark)
+    out = _drop_reserved(stream_df).withWatermark(ts_col, watermark)
     # same fused Arrow pass as the batch pipeline (stats incl. char/
     # line level come out of the one UDF struct)
     scores_udf = make_text_scores_udf(cfg.stopwords)

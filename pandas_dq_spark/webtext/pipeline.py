@@ -38,6 +38,28 @@ from .udfs import TEXT_SCORES_FIELDS, make_text_scores_udf
 
 ISSUE_TYPE = "array<struct<check:string,severity:string,detail:string>>"
 
+# Output columns the pipeline computes.  Input columns with these names
+# are DROPPED at entry (ADVICE r04: the fused selects would otherwise
+# produce duplicate column names and an ambiguous-reference
+# AnalysisException downstream).  ``bucket`` is deliberately NOT here —
+# a pre-bucketed input's partition column is kept as-is.
+RESERVED_OUTPUT_COLS = frozenset(
+    (*TEXT_SCORES_FIELDS, "issues", "dq_issue", "keep", "scrubbed_text",
+     "pii_hits", "is_dup", "extracted_text", "extract_ok")
+)
+
+
+def _drop_reserved(df: DataFrame) -> DataFrame:
+    collide = [c for c in df.columns if c in RESERVED_OUTPUT_COLS]
+    if collide:
+        print(
+            "Alert: input columns "
+            + ", ".join(sorted(collide))
+            + " collide with pipeline output names and were dropped"
+        )
+        df = df.drop(*collide)
+    return df
+
 
 def with_extracted(df: DataFrame, html: str = "html") -> DataFrame:
     """Byte-identical text extraction from the html wrapper
@@ -122,9 +144,13 @@ def quality_filter(
     If ``df`` already carries a ``bucket`` column (run_pipeline adds it
     at scan time so per-batch bucket filters prune BEFORE the Arrow UDF
     and the dedup join) it is kept as-is; ``dup_verdict`` likewise lets
-    a batch runner share one persisted dedup verdict."""
+    a batch runner share one persisted dedup verdict.
+
+    Score/verdict field names (:data:`RESERVED_OUTPUT_COLS`) are
+    reserved: input columns with those names are dropped at entry, with
+    an Alert print."""
     cfg = cfg or QualityConfig()
-    out = df
+    out = _drop_reserved(df)
     if check_extraction and "html" in df.columns:
         out = with_extracted(out)
         out = out.withColumn(

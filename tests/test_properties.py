@@ -150,3 +150,16 @@ def test_sniff_rejects_arbitrary_bytes(payload):
             decode_bmp(payload)
         with pytest.raises(Exception):
             decode_wav(payload)
+
+
+def test_bmp_rejects_crafted_negative_width():
+    """ADVICE r04: a crafted header with negative biWidth must raise
+    the intended ValueError, not a numpy reshape error."""
+    import struct
+
+    from pandas_dq_spark.operators.codecs import decode_bmp, encode_bmp
+
+    payload = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    struct.pack_into("<i", payload, 18, -2)  # biWidth = -2
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(payload))

@@ -372,3 +372,21 @@ def test_quality_filter_plan_has_no_window_stage(spark):
     out = quality_filter(pages_df(spark, 200), QualityConfig(min_words=20))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_reserved_input_columns_dropped(spark, capsys):
+    """ADVICE r04: input columns named like pipeline outputs (n_chars,
+    keep, issues, ...) must not produce duplicate/ambiguous columns —
+    they are dropped at entry with an Alert, and the computed values
+    win.  A pre-existing `bucket` column is deliberately kept."""
+    from pandas_dq_spark.webtext.fixtures import pages_df
+
+    sdf = pages_df(spark, 50).withColumn(
+        "n_chars", F.lit(-1)
+    ).withColumn("keep", F.lit(False)).withColumn("issues", F.lit("junk"))
+    out = quality_filter(sdf, QualityConfig(min_words=20))
+    assert "collide with pipeline output names" in capsys.readouterr().out
+    # no duplicate names, and the computed columns are usable
+    assert len(out.columns) == len(set(out.columns))
+    row = out.filter("keep").select("n_chars", "issues").first()
+    assert row["n_chars"] > 0 and row["issues"] == []
