@@ -35,6 +35,13 @@ HEADLINE = [
     "m_minhash_near_dups",
 ]
 
+# queries added after round 4 — timed and spread-reported like the
+# headline set, but EXCLUDED from the `value` sum so the headline total
+# stays comparable round-over-round
+EXTRA = [
+    "m_simhash_near_dups",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -60,13 +67,15 @@ def main() -> None:
     # reflects the engine, max-min quantifies how noisy the window was
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    extra_timings: dict[str, float] = {}
+    for name in HEADLINE + EXTRA:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 4)
+        dest = timings if name in HEADLINE else extra_timings
+        dest[name] = round(min(runs), 4)
         spreads[name] = round(max(runs) - min(runs), 4)
 
     # flagship: full quality-filter pipeline over documents-as-pages
@@ -78,14 +87,16 @@ def main() -> None:
         F.col("lang"),
     )
     n_docs = pages.count()
-    wt_sec = float("inf")
-    for _ in range(2):
+    wt_runs = []
+    for _ in range(3):
         t0 = time.perf_counter()
         out = quality_filter(pages, QualityConfig(min_words=20), check_extraction=False)
         # force full materialization of every column incl. scrub + issues
         out.select(F.sum(F.length("scrubbed_text")), F.sum(F.size("issues")), F.sum(F.col("keep").cast("long"))).collect()
-        wt_sec = min(wt_sec, time.perf_counter() - t0)
+        wt_runs.append(time.perf_counter() - t0)
+    wt_sec = min(wt_runs)
     timings["wt_quality_filter"] = round(wt_sec, 4)
+    spreads["wt_quality_filter"] = round(max(wt_runs) - wt_sec, 4)
 
     # throughput on an ENLARGED corpus (sf0.1 docs x400 = 2M pages):
     # the 5k-doc run above is fixed-cost dominated; docs/sec only means
@@ -114,18 +125,21 @@ def main() -> None:
         .persist()
     )
     n_big = big.count()
-    big_sec = float("inf")
+    big_runs = []
     # best-of-3: the flagship number; this sandbox's host contention
     # swings wall clocks 2-3x in waves longer than one run
     for _ in range(3):
         t0 = time.perf_counter()
         out = quality_filter(big, QualityConfig(min_words=20), check_extraction=False)
         out.select(F.sum(F.length("scrubbed_text")), F.sum(F.size("issues")), F.sum(F.col("keep").cast("long"))).collect()
-        big_sec = min(big_sec, time.perf_counter() - t0)
+        big_runs.append(time.perf_counter() - t0)
+    big_sec = min(big_runs)
     big.unpersist()
 
     total = round(sum(timings.values()), 4)
     timings["wt_quality_filter_2m"] = round(big_sec, 4)
+    spreads["wt_quality_filter_2m"] = round(max(big_runs) - big_sec, 4)
+    timings.update(extra_timings)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(

@@ -9,9 +9,9 @@ Scale notes (10^12 docs):
   band_hash) and a groupBy — the classic shingle->minhash->band->
   bucket-join; candidate verification compares signatures, never the
   raw text.
-- simhash: vectorized numpy inside one pandas UDF (64 bit-planes over
-  token hashes is branch-free in numpy, painful as 64 Catalyst
-  aggregates), then band-bucketing like LSH.
+- simhash: per-token xxhash64 JVM-side, then 64 bit-planes as
+  segmented numpy reductions in one pandas UDF (branch-free in numpy,
+  painful as 64 Catalyst aggregates), then band-bucketing like LSH.
 - 'keep first' cluster resolution is single-pass: a doc is a dup if
   any bucket pairs it with a smaller id.  (Full connected components
   would need iteration; min-id-per-bucket is the standard one-pass
@@ -418,34 +418,54 @@ def minhash_lsh_duplicates(
 
 # -------------------------------------------------------------- simhash
 @F.pandas_udf(T.LongType())
-def simhash_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens — vectorized numpy.
+def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-token hash arrays — zero Python-rate
+    work (VERDICT r04 item 1: the per-token FNV loop was the last
+    Python-rate kernel).
 
-    Per Arrow batch: hash every token (stable FNV-1a via numpy uint64
-    ops), accumulate +-1 per bit plane, sign -> bits."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.array([_fnv1a64(tok) for tok in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
+    Tokens are hashed JVM-side with ``xxhash64`` (same division of
+    labor as :func:`minhash_signatures`); this kernel only does the
+    bit-plane accumulation, as one segmented numpy reduction per bit
+    plane across the WHOLE Arrow batch: ones(b) per doc via
+    ``np.add.reduceat``, bit b set iff 2*ones(b) > n_tokens (the
+    ``acc > 0`` sign convention of the plain-python oracle spec,
+    scripts/oracle_check.py ``_py_simhash``)."""
+    n = len(hashes)
+    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.uint64)
+    nz = lens > 0
+    if nz.any():
+        cat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if len(h)]
+        ).view(np.uint64)
+        toks = lens[nz].astype(np.uint64)
+        starts = np.zeros(toks.size, dtype=np.int64)
+        starts[1:] = np.cumsum(lens[nz])[:-1]
+        sig = np.zeros(toks.size, dtype=np.uint64)
         for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig
-    return pd.Series(out.astype(np.int64))
+            ones = np.add.reduceat(
+                (cat >> np.uint64(b)) & np.uint64(1), starts
+            )
+            sig |= (2 * ones > toks).astype(np.uint64) << np.uint64(b)
+        out[nz] = sig
+    return pd.Series(out.view(np.int64))
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, sh: long) SimHash table.  Per-token ``xxhash64`` runs
+    JVM-side inside whole-stage codegen (tokenize = split on ASCII
+    ``\\s+`` runs, empties filtered); only the int64 hash arrays cross
+    Arrow into the vectorized bit-plane kernel."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("id"), simhash_from_hashes(th).alias("sh")
+    )
 
 
 def simhash_duplicates(
@@ -468,9 +488,8 @@ def simhash_duplicates(
     own = cache is None
     h = cache if cache is not None else DedupCacheHandle()
     base = h.track(
-        df.select(
-            F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
-        ).persist()  # compute the UDF once, not on both join sides
+        # compute the signature once, not on both join sides
+        simhash_signatures(df, id_col, text_col).persist()
     )
     if collapse_identical:
         reps, ident_dups = _split_identical(base, "sh")

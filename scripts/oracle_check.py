@@ -62,7 +62,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 # oracles close that: pure-python/numpy reimplementations (independent
 # of the Spark operators' vectorized kernels) compute exact Jaccard
 # over word-shingle sets and exact Hamming over driver-computed
-# FNV-1a/bit-plane simhashes, then bound what the LSH output may be.
+# xxhash64/bit-plane simhashes, then bound what the LSH output may be.
 
 
 def _py_word_shingles(text: str, n: int = 3) -> set:
@@ -74,19 +74,74 @@ def _py_word_shingles(text: str, n: int = 3) -> set:
     return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
 
 
+# Pure-python XXH64 (public algorithm, Yann Collet's xxHash spec) —
+# the INDEPENDENT reimplementation of Spark's `xxhash64` expression
+# (seed 42 over UTF-8 bytes) that keeps the simhash oracle free of the
+# JVM kernel it verifies.  Pinned byte-for-byte against F.xxhash64 in
+# tests/test_nonsql_oracles.py.
+_XXM = (1 << 64) - 1
+_XXP1, _XXP2, _XXP3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_XXP4, _XXP5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXM
+
+
+def py_xxhash64(data: bytes, seed: int = 42) -> int:
+    """XXH64(data, seed) as a SIGNED 64-bit int, matching Spark's
+    ``xxhash64`` output convention."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _XXM
+        v2 = (seed + _XXP2) & _XXM
+        v3 = seed & _XXM
+        v4 = (seed - _XXP1) & _XXM
+        while i + 32 <= n:
+            v1 = (_rotl64((v1 + int.from_bytes(data[i : i + 8], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+            v2 = (_rotl64((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+            v3 = (_rotl64((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+            v4 = (_rotl64((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _XXM
+        for v in (v1, v2, v3, v4):
+            h = (((h ^ ((_rotl64((v * _XXP2) & _XXM, 31) * _XXP1) & _XXM)) * _XXP1) + _XXP4) & _XXM
+    else:
+        h = (seed + _XXP5) & _XXM
+    h = (h + n) & _XXM
+    while i + 8 <= n:
+        k = (_rotl64((int.from_bytes(data[i : i + 8], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+        h = ((_rotl64(h ^ k, 27) * _XXP1) + _XXP4) & _XXM
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl64(h ^ ((int.from_bytes(data[i : i + 4], "little") * _XXP1) & _XXM), 23) * _XXP2) + _XXP3) & _XXM
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XXP5) & _XXM), 11) * _XXP1) & _XXM
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _XXM
+    h ^= h >> 29
+    h = (h * _XXP3) & _XXM
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _py_simhash(text: str) -> int:
-    """64-bit SimHash: FNV-1a per whitespace token, +/-1 per bit
-    plane, sign -> bit.  Plain-python spec the numpy simhash_udf must
-    agree with (same convention: acc > 0 sets the bit)."""
-    toks = (text or "").split()
+    """64-bit SimHash: xxhash64 (pure-python XXH64 above, seed 42) per
+    token, +/-1 per bit plane, sign -> bit (acc > 0 sets the bit).
+    Tokenize = ASCII-``\\s+`` split with empties dropped, matching the
+    JVM-side `split`/`filter` in dedup.simhash_signatures.  Plain-
+    python spec the vectorized kernel must agree with bit-for-bit."""
+    import re
+
+    toks = [t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t]
     if not toks:
         return 0
     counts = [0] * 64
     for tok in toks:
-        h = 0xCBF29CE484222325
-        for byte in tok.encode("utf-8"):
-            h ^= byte
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        h = py_xxhash64(tok.encode("utf-8")) & _XXM
         for b in range(64):
             counts[b] += 1 if (h >> b) & 1 else -1
     sig = 0

@@ -2,7 +2,7 @@
 (VERDICT r03 item 4): the driver's DuckDB gate can't express
 MinHash/SimHash, so scripts/oracle_check.py carries seeded
 pure-python/numpy oracles — exact shingle Jaccard bounds for MinHash,
-exact FNV-1a/bit-plane Hamming equality for SimHash — and this test
+exact XXH64/bit-plane Hamming equality for SimHash — and this test
 asserts them at both the unit SF and the driver's sf0.01 gate scale.
 """
 
@@ -50,24 +50,47 @@ def test_lsh_oracles_at_driver_gate_scale(spark):
     assert m["must_flag"] > 0 and s["expected"] > 0
 
 
-def test_py_simhash_matches_vectorized_udf_spec():
-    # the plain-python oracle and the numpy UDF must agree bit-for-bit
-    import numpy as np
-    import pandas as pd
+TEXTS = [
+    "",
+    "one",
+    "the quick brown fox jumps over the lazy dog",
+    "unicode tøkens über ångström 你好 世界",
+    "repeat repeat repeat repeat",
+    "  leading and trailing\twhitespace  \n mixed ",
+    "a-token-longer-than-thirty-two-bytes-to-hit-the-xxh64-stripe-loop",
+]
 
-    from pandas_dq_spark.operators.dedup import simhash_udf
 
-    texts = [
-        "",
-        "one",
-        "the quick brown fox jumps over the lazy dog",
-        "unicode tøkens über ångström 你好 世界",
-        "repeat repeat repeat repeat",
-    ]
-    kernel = simhash_udf.func  # unwrap the pandas_udf
-    got = kernel(pd.Series(texts)).to_numpy().astype(np.uint64)
-    exp = np.array([_py_simhash(t) for t in texts], dtype=np.uint64)
-    assert np.array_equal(got, exp)
+def test_py_xxhash64_matches_spark(spark):
+    """The oracle's pure-python XXH64 must equal Spark's `xxhash64`
+    expression byte-for-byte — this is what keeps the simhash oracle
+    independent of the JVM kernel it verifies."""
+    from oracle_check import py_xxhash64
+    from pyspark.sql import functions as F
+
+    words = sorted({w for t in TEXTS for w in t.split()} | {"", "abc", "1234567"})
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for w in words:
+        assert got[w] == py_xxhash64(w.encode("utf-8")), repr(w)
+
+
+def test_py_simhash_matches_vectorized_kernel(spark):
+    """The plain-python oracle spec and the JVM-hash + numpy bit-plane
+    kernel (r5: zero Python-rate work) must agree bit-for-bit —
+    end-to-end through tokenization, hashing, and sign accumulation."""
+    from pandas_dq_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    mask = (1 << 64) - 1
+    got = {
+        r["id"]: r["sh"] & mask
+        for r in simhash_signatures(df, "doc_id").collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert got[i] == (_py_simhash(t) & mask), repr(t)
 
 
 def test_webtext_keep_stats_brute_force_oracle(spark, sf_dir):
