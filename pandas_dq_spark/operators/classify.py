@@ -46,6 +46,17 @@ ROLE_KEYS = [
 ]
 
 
+def _all_unique(cp, n: int, extra: int = 0) -> bool:
+    """distinct(+extra) == n — the all-unique/ID condition.  Exact
+    equality in parity mode; in engine mode ``n_distinct`` is an HLL
+    estimate (rsd 0.01), so equality is widened to the 2-sigma band
+    (same convention as ``ColumnProfile.is_id_like``)."""
+    nvc = cp.n_distinct + extra
+    if cp.exact:
+        return nvc == n
+    return n > 0 and nvc >= int(0.98 * n)
+
+
 def classify_from_profile(state: ProfileState) -> dict[str, list[str]]:
     n = state.n_rows
     cols = list(state.columns)
@@ -95,7 +106,7 @@ def classify_from_profile(state: ProfileState) -> dict[str, list[str]]:
             discrete.append(c)
         elif nvc > CAT_LIMIT and nvc <= int(0.9 * n):
             discrete.append(c)
-        elif nvc > CAT_LIMIT and nvc == n:
+        elif nvc > CAT_LIMIT and _all_unique(p[c], n, 1 if miss > 0 else 0):
             id_vars.append(c)
         else:
             cat.append(c)
@@ -113,7 +124,7 @@ def classify_from_profile(state: ProfileState) -> dict[str, list[str]]:
             continue
         mn, mx = p[c].min_val, p[c].max_val
         out_of_range = mn is None or mn < 1900 or (mx is not None and mx > 2050)
-        if p[c].n_distinct == n:
+        if _all_unique(p[c], n):
             if out_of_range:
                 id_vars.append(c)
             else:
@@ -141,7 +152,7 @@ def classify_from_profile(state: ProfileState) -> dict[str, list[str]]:
 
     # --- cat fixup: all-unique cat col becomes id (1557-1560)
     for c in list(cat):
-        if p[c].n_distinct == n:
+        if _all_unique(p[c], n):
             cat.remove(c)
             id_vars.append(c)
 
@@ -166,14 +177,36 @@ def classify_from_profile(state: ProfileState) -> dict[str, list[str]]:
 
 
 def classify_columns(
-    df: DataFrame, verbose: int = 0, state: ProfileState | None = None
+    df: DataFrame,
+    verbose: int = 0,
+    state: ProfileState | None = None,
+    exact: bool | None = None,
 ) -> dict[str, list[str]]:
     """Drop-in for the reference entry point (pandas_dq.py:1364).
 
     One Spark job (the fused profile agg) regardless of column count.
+
+    ``exact`` mirrors :func:`dq_report`'s flag (r5): ``True`` = parity
+    profile (exact ``count(DISTINCT)`` — Expand plan); ``False`` =
+    engine profile (``approx_count_distinct``, no Expand — the plan
+    that survives a 10^12-row table; the all-unique/ID cascades then
+    use the HLL 2-sigma band, see ``ColumnProfile.is_id_like``).
+    ``None`` auto-selects by row count with the same bounded ``limit``
+    probe and >=1M threshold as ``dq_report``.  Ignored when a
+    precomputed ``state`` is passed.
     """
     if state is None:
-        state = profile(df)
+        if exact is None:
+            from .dq_report import SAMPLE_CAP_ROWS, _at_least_rows
+
+            exact = not _at_least_rows(df, SAMPLE_CAP_ROWS)
+            if not exact:
+                print(
+                    f"Alert: Detected dataframe size >= {SAMPLE_CAP_ROWS} "
+                    "rows. classify_columns profiling in scale-safe "
+                    "engine mode (pass exact=True for parity plans)."
+                )
+        state = profile(df, exact_distinct=exact)
     roles = classify_from_profile(state)
     if verbose >= 1:
         print("    Number of Numeric Columns = ", len(roles["continuous_vars"]))

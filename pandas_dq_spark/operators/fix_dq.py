@@ -65,7 +65,7 @@ class FixDQ:
         correlation_threshold: float = 0.9,
         yj_sample_cap: int = 200_000,
         rare_isin_cap: int = 10_000,
-        engine_mode: bool = False,
+        engine_mode: bool | None = None,
     ):
         self.quantile = quantile
         self.cat_fill_value = cat_fill_value
@@ -78,8 +78,13 @@ class FixDQ:
         # — a single-reducer scale-killer) for the range-bucketed exact
         # quantile plan (plans.profile.quantiles_bucketed_many).  Same
         # numbers (exact linear interpolation incl. +-inf handling);
-        # parity mode keeps the fused single-pass agg.
+        # parity mode keeps the fused single-pass agg.  ``None``
+        # (default, r5) auto-selects at fit time by row count — the
+        # same bounded ``limit`` probe and >=1M threshold as
+        # ``dq_report(exact=None)``; the chosen mode is recorded in
+        # ``resolved_engine_mode_`` and announced when it flips.
         self.engine_mode = engine_mode
+        self.resolved_engine_mode_: bool | None = None
         # rare sets up to this size are applied as an isin literal;
         # larger sets (high-cardinality columns, where almost every
         # value is rare) switch to the step-4b rare-value JOIN
@@ -95,6 +100,18 @@ class FixDQ:
 
     # -- fit ---------------------------------------------------------
     def fit(self, X: DataFrame, y=None) -> "FixDQ":
+        engine = self.engine_mode
+        if engine is None:
+            from .dq_report import SAMPLE_CAP_ROWS, _at_least_rows
+
+            engine = _at_least_rows(X, SAMPLE_CAP_ROWS)
+            if engine:
+                print(
+                    f"Alert: Detected dataframe size >= {SAMPLE_CAP_ROWS} "
+                    "rows. Fix_DQ fitting in scale-safe engine mode (pass "
+                    "engine_mode=False for reference-parity plans)."
+                )
+        self.resolved_engine_mode_ = engine
         st = FixDQState()
         kinds = {f.name: col_kind(f.dataType) for f in X.schema.fields}
         float_cols = [c for c in X.columns if kinds[c] == "float"]
@@ -104,7 +121,7 @@ class FixDQ:
         # fused agg: profile + fit quantiles + pairwise corr in one pass
         p = self.quantile if self.quantile is not None else 0.99
         extra = []
-        if not self.engine_mode:
+        if not engine:
             for c in float_cols:
                 # pandas .quantile keeps +-inf in the order statistics;
                 # only NaN/null are skipped — so do NOT filter inf here
@@ -119,9 +136,9 @@ class FixDQ:
                 ca = F.when(null_or_nan(F.col(a), kinds[a]), None).otherwise(F.col(a).cast("double"))
                 cb = F.when(null_or_nan(F.col(b), kinds[b]), None).otherwise(F.col(b).cast("double"))
                 extra.append(F.corr(ca, cb).alias(f"c__{a}__{b}"))
-        state = profile(X, extra_aggs=extra)
+        state = profile(X, exact_distinct=not engine, extra_aggs=extra)
         n = state.n_rows
-        if self.engine_mode and float_cols:
+        if engine and float_cols:
             from ..plans.profile import quantiles_bucketed_many
 
             bq = quantiles_bucketed_many(X, float_cols, [p, 1 - p])

@@ -83,6 +83,7 @@ class ColumnProfile:
     max_len: int | None = None
     avg_len: float | None = None
     n_date_parseable: int | None = None  # string cols: to_timestamp successes
+    exact: bool = True  # False: n_distinct is an HLL estimate (rsd 0.01)
 
     @property
     def missing_pct(self) -> float:
@@ -100,7 +101,15 @@ class ColumnProfile:
     @property
     def is_id_like(self) -> bool:
         # every non-null value unique AND no missing (pandas_dq.py:901-903)
-        return self.n_rows > 0 and self.n_distinct == self.n_rows
+        if self.n_rows <= 0:
+            return False
+        if self.exact:
+            return self.n_distinct == self.n_rows
+        # engine mode: n_distinct is an HLL estimate with rsd 0.01, so
+        # exact equality would (almost) never fire on a true ID column;
+        # require the exact no-missing condition plus distinct within
+        # the 2-sigma error band of the row count
+        return self.n_missing == 0 and self.n_distinct >= int(0.98 * self.n_rows)
 
 
 @dataclass
@@ -222,6 +231,7 @@ def profile(
             max_len=row.get(f"maxlen::{name}"),
             avg_len=row.get(f"avglen::{name}"),
             n_date_parseable=row.get(f"dateok::{name}"),
+            exact=exact_distinct,
         )
         sk = p.skewness
         if sk is not None and (math.isnan(sk) or math.isinf(sk)):

@@ -194,3 +194,66 @@ def test_engine_mode_dup_drop_hashed(messy, monkeypatch):
     # duplicate finding and post-drop profile agree across modes
     assert (par["dq_issue"] == eng["dq_issue"]).mean() >= 0.9
     assert list(par["missing_values_pct"]) == list(eng["missing_values_pct"])
+
+
+def test_fixdq_auto_selects_engine_mode_on_large_frame(spark, monkeypatch, capsys):
+    """r5 (VERDICT r04 item 3): FixDQ defaults to engine_mode=None and
+    auto-selects by row count with the same bounded limit probe as
+    dq_report — on a >=1M-row frame the fit plans must contain no
+    exact-percentile aggregate and no Expand."""
+    import pyspark.sql.functions as F
+
+    big = (
+        spark.range(1_100_000)
+        .select(
+            F.col("id"),
+            (F.rand(7) * 100).alias("x"),
+            F.when(F.rand(11) < 0.5, "a").otherwise("b").alias("cat"),
+        )
+    )
+    rec = _PlanRecorder(monkeypatch, big)
+    fx = FixDQ()
+    fx.fit(big)
+    assert fx.resolved_engine_mode_ is True
+    assert "engine mode" in capsys.readouterr().out
+    plans = rec.joined()
+    assert rec.plans, "recorder captured no jobs"
+    assert "percentile(" not in plans
+    assert "Expand" not in plans
+    # the true ID column survives engine-mode (HLL-band) detection
+    assert fx.state.id_cols_ == ["id"]
+
+
+def test_fixdq_auto_parity_below_threshold(messy):
+    sdf, _ = messy
+    fx = FixDQ()
+    fx.fit(sdf)  # 2000 rows << 1M
+    assert fx.resolved_engine_mode_ is False
+
+
+def test_classify_columns_engine_mode(spark, monkeypatch):
+    """r5: classify_columns(exact=False) profiles without Expand and
+    still lands the role lists (HLL-band all-unique cascades)."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_dq_spark.operators.classify import classify_columns
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "rowid": np.arange(n),  # int, out of date range -> id
+            "amount": rng.normal(50, 10, n),
+            "grp": rng.choice(["x", "y", "z"], n),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    rec = _PlanRecorder(monkeypatch, sdf)
+    roles_eng = classify_columns(sdf, exact=False)
+    assert "Expand" not in rec.joined()
+    roles_par = classify_columns(sdf, exact=True)
+    assert roles_eng == roles_par
+    assert roles_par["id_vars"] == ["rowid"]
+    assert roles_par["cat_vars"] == ["grp"]
+    assert roles_par["continuous_vars"] == ["amount"]
