@@ -626,3 +626,65 @@ def test_explicit_handle_keeps_then_releases(spark):
         assert out2.filter("is_near_dup").count() > 0
     assert all(not d.is_cached for d in tracked)
     assert h._tracked == []
+
+
+def test_embedding_multiband_recovers_pair_in_hot_bucket(spark):
+    """r5 (VERDICT r04 item 4): a similar pair buried in an OVERSIZED
+    band-0 bucket — both members differing from the star
+    representative — must still be found via the second independent
+    hyperplane band.  Constructed deterministically against the seeded
+    planes: the flood shares the pair's band-0 bucket (forcing the
+    star cap) but not its band-1 bucket (where all-pairs verification
+    runs)."""
+    from pandas_dq_spark.operators.similarity import _hyperplanes
+
+    planes, dim, seed = 3, 8, 42
+    H0 = _hyperplanes(dim, planes, seed)  # band 0 planes
+    H1 = _hyperplanes(dim, planes, seed + 7919)  # band 1 planes
+
+    def bucket(v, H):
+        return int(sum(1 << p for p in range(planes) if H[p] @ v > 0))
+
+    rng = np.random.default_rng(123)
+    v = rng.standard_normal(dim)
+    v /= np.linalg.norm(v)
+    w = v + 1e-3 * rng.standard_normal(dim)
+    w /= np.linalg.norm(w)
+    assert float(v @ w) >= 0.999
+    b0, b1 = bucket(v, H0), bucket(v, H1)
+    assert bucket(w, H0) == b0 and bucket(w, H1) == b1
+
+    flood = []
+    while len(flood) < 40:
+        u = rng.standard_normal(dim)
+        u /= np.linalg.norm(u)
+        if (
+            bucket(u, H0) == b0
+            and bucket(u, H1) != b1
+            and abs(float(u @ v)) < 0.9
+        ):
+            flood.append(u)
+
+    # flood ids 0..39 -> the band-0 star representative is id 0, and
+    # the planted pair (ids 100, 101) differs from it
+    rows = [(i, [float(x) for x in u]) for i, u in enumerate(flood)]
+    rows += [(100, [float(x) for x in v]), (101, [float(x) for x in w])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # bands=1 reproduces the r4 caveat: the star comparison inside the
+    # hot bucket only verifies rep-vs-member, so the pair is missed
+    miss = embedding_near_duplicates(
+        df, "vec_id", threshold=0.99, planes=planes, bands=1, seed=seed,
+        dim=dim, max_bucket=20,
+    )
+    assert (100, 101) not in {(r["id_a"], r["id_b"]) for r in miss.collect()}
+
+    # bands=2 (the default) recovers it through band 1's small bucket
+    st = {}
+    found = embedding_near_duplicates(
+        df, "vec_id", threshold=0.99, planes=planes, bands=2, seed=seed,
+        dim=dim, max_bucket=20, stats=st,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    assert (100, 101) in got
+    assert st.get("hot_buckets", 0) >= 1  # the cap really engaged
