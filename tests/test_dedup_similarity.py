@@ -688,3 +688,39 @@ def test_embedding_multiband_recovers_pair_in_hot_bucket(spark):
     got = {(r["id_a"], r["id_b"]) for r in found.collect()}
     assert (100, 101) in got
     assert st.get("hot_buckets", 0) >= 1  # the cap really engaged
+
+
+def test_real_mode_accepts_png(spark):
+    """r5: decode_mode='real' handles 8-bit PNG end-to-end — features
+    histogram decoded pixels, resize re-encodes in the PNG container."""
+    from pandas_dq_spark.operators.codecs import decode_png, encode_png
+    from pandas_dq_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_bilinear_np,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (6, 8, 3)).astype(np.uint8)
+    black = np.zeros((4, 4, 4), dtype=np.uint8)  # RGBA, all bin 0
+    rows = [
+        (0, "image", bytearray(encode_png(img, filter_type=2)), (8, 6, None, None)),
+        (1, "image", bytearray(encode_png(black)), (4, 4, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r["features"] for r in
+             extract_features(df, decode_mode="real").collect()}
+    assert feats[1][0] == pytest.approx(1.0)
+    exp_hist = np.histogram(
+        img.ravel() / 255.0, bins=32, range=(0.0, 1.0 + 1e-9)
+    )[0] / img.size
+    assert np.allclose(np.asarray(feats[0]), exp_hist, atol=1e-7)
+
+    out = {r["media_id"]: r for r in
+           resize_images(df, 4, 3, decode_mode="real").collect()}
+    got = decode_png(bytes(out[0]["payload"]))
+    assert np.array_equal(got, resize_bilinear_np(img, 4, 3))
+    # RGBA input comes back as RGB PNG (alpha dropped pre-resize)
+    assert decode_png(bytes(out[1]["payload"])).shape == (3, 4, 3)

@@ -163,3 +163,57 @@ def test_bmp_rejects_crafted_negative_width():
     struct.pack_into("<i", payload, 18, -2)  # biWidth = -2
     with pytest.raises(ValueError, match="invalid BMP dimensions"):
         decode_bmp(bytes(payload))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([1, 2, 3, 4]),  # gray, gray+alpha, RGB, RGBA
+    st.sampled_from([0, 1, 2, 3, 4]),  # every scanline filter type
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(w, h, channels, filter_type, seed):
+    """r5 (VERDICT r04 item 5): PNG decode must invert encode for
+    every channel count and every scanline filter — the non-zero
+    filter encodings exist precisely to exercise each unfilter path
+    (Sub's lane cumsum, Up, Average, Paeth)."""
+    from pandas_dq_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, channels)).astype(np.uint8)
+    got = decode_png(encode_png(img, filter_type=filter_type))
+    assert np.array_equal(got, img)
+
+
+def test_png_known_bytes_and_paeth_predictor():
+    """Pin the container layout against hand-computed bytes (so the
+    round-trip property can't pass via a mirrored encoder/decoder
+    bug), and the Paeth tie-breaking order (left wins, then up) on a
+    hand-worked vector."""
+    import struct
+    import zlib
+
+    from pandas_dq_spark.operators.codecs import decode_png, encode_png
+
+    # 1x1 gray pixel, value 7: scanline = filter 0 + one byte
+    payload = encode_png(np.array([[7]], dtype=np.uint8))
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    (ihdr_len,) = struct.unpack(">I", payload[8:12])
+    assert payload[12:16] == b"IHDR" and ihdr_len == 13
+    w, h, depth, ctype = struct.unpack(">IIBB", payload[16:26])
+    assert (w, h, depth, ctype) == (1, 1, 8, 0)
+    (idat_len,) = struct.unpack(">I", payload[33:37])
+    assert payload[37:41] == b"IDAT"
+    assert zlib.decompress(payload[41 : 41 + idat_len]) == b"\x00\x07"
+
+    # Paeth row: prev = [10, 20], cur raw = [30, 40] (1 channel).
+    #   x=0: a=0,c=0,b=10 -> p=10, pa=10,pb=0  -> predictor b=10, filt=20
+    #   x=1: a=30,b=20,c=10 -> p=40, pa=10,pb=20,pc=30 -> predictor a, filt=10
+    img = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    enc = encode_png(img, filter_type=4)
+    (idat_len,) = struct.unpack(">I", enc[33:37])
+    scan = zlib.decompress(enc[41 : 41 + idat_len])
+    # row 0 (prev all zero): predictors are 0 then left=10
+    assert scan == b"\x04\x0a\x0a" + b"\x04\x14\x0a"
+    assert np.array_equal(decode_png(enc), img[:, :, None])
