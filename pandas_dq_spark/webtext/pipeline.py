@@ -255,14 +255,57 @@ def metrics_sidecar(result: DataFrame, cfg: QualityConfig) -> DataFrame:
     )
 
 
-def host_stats_salted(df: DataFrame, salt_buckets: int = 16) -> DataFrame:
+def host_stats_salted(
+    df: DataFrame,
+    salt_buckets: int | None = None,
+    host_profile: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
     """Per-host doc counts with explicit salting for skewed hosts
     (north rule: 'partitioning / shuffle / skew handled explicitly').
 
     Two-phase: partial agg on (host, salt) — spreads a hot host over
     ``salt_buckets`` reducers — then final agg on host.  The salt is
-    derived from url so it is deterministic."""
+    derived from url so it is deterministic.
+
+    ``salt_buckets=None`` (r5, SURVEY §4.2) derives S from a
+    host-FREQUENCY profile instead of a fixed constant, so a
+    pathological single-host corpus spreads over enough reducers:
+    ``S = ceil(max_host_rows / (total_rows / shuffle_partitions))``
+    clamped to [1, shuffle_partitions] — i.e. just enough salt that the
+    hottest host's partial-agg groups are no bigger than an average
+    reducer's share.  The profile is a (host, n) count table: pass a
+    precomputed/cached one via ``host_profile`` (batch runners that
+    call this repeatedly should), else one map-side-combined counting
+    pass runs here — per-host counts are themselves skew-safe because
+    partial aggregation collapses a hot host to one row per task
+    before the shuffle.  The chosen S is reported via
+    ``stats['salt_buckets']``."""
     host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    if salt_buckets is None:
+        import math
+
+        par = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        if host_profile is None:
+            host_profile = (
+                df.select(host).groupBy("host").agg(F.count("*").alias("n"))
+            )
+        prof = host_profile.agg(
+            F.max("n").alias("max_n"), F.sum("n").alias("tot")
+        ).first()
+        max_n, tot = int(prof["max_n"] or 0), int(prof["tot"] or 0)
+        per_task = max(1.0, tot / par)
+        salt_buckets = max(1, min(par, math.ceil(max_n / per_task)))
+        if stats is not None:
+            stats.update(
+                {
+                    "salt_buckets": salt_buckets,
+                    "max_host_rows": max_n,
+                    "total_rows": tot,
+                }
+            )
     salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).alias("salt")
     partial = (
         df.select(host, salt, F.col("keep").cast("long").alias("k"))

@@ -390,3 +390,49 @@ def test_reserved_input_columns_dropped(spark, capsys):
     assert len(out.columns) == len(set(out.columns))
     row = out.filter("keep").select("n_chars", "issues").first()
     assert row["n_chars"] > 0 and row["issues"] == []
+
+
+def test_host_salting_profile_driven(spark):
+    """r5 (VERDICT r04 item 6): with one host at 90% of rows,
+    salt_buckets=None derives S from the host-frequency profile and
+    the partial-agg stage's biggest (host, salt) group is bounded by
+    ~n/S — no reducer sees the whole hot host."""
+    n, par = 8000, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows = [
+        (
+            (f"https://hot.example/p{i}" if i < int(n * 0.9)
+             else f"https://cold{i % 50}.example/p{i}"),
+            i % 3 != 0,
+        )
+        for i in range(n)
+    ]
+    sdf = spark.createDataFrame(rows, "url string, keep boolean")
+
+    st = {}
+    out = host_stats_salted(sdf, stats=st).collect()
+    S = st["salt_buckets"]
+    assert st["max_host_rows"] == int(n * 0.9)
+    # S is sized so the hot host's share per salt <= an average
+    # reducer's share of the table
+    assert S == min(par, -(-int(n * 0.9) // max(1, n // par)))
+    assert S > 1
+
+    # measure the actual partial-agg group sizes: max (host, salt)
+    # group must be ~ max_host/S, not max_host
+    partial = (
+        sdf.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.pmod(F.xxhash64("url"), F.lit(S)).alias("salt"),
+        )
+        .groupBy("host", "salt")
+        .count()
+    )
+    max_group = partial.agg(F.max("count")).first()[0]
+    assert max_group <= 2 * (int(n * 0.9) // S)
+
+    # and the salted result is still exact
+    by_host = {r["host"]: (r["n_docs"], r["n_kept"]) for r in out}
+    assert by_host["hot.example"][0] == int(n * 0.9)
+    assert sum(v[0] for v in by_host.values()) == n
+    exp_kept = sum(1 for u, k in rows if k and "hot" in u)
+    assert by_host["hot.example"][1] == exp_kept
