@@ -12,9 +12,16 @@ Output-schema changelog (ADVICE r03): round 3 widened the per-doc UDF
 struct, so ``streaming_quality_filter`` output gained four columns —
 ``n_chars``, ``symbol_ratio``, ``repeated_line_frac``,
 ``ellipsis_line_frac``.  A streaming query restarted against a sink/
-checkpoint written under the pre-r3 schema may fail or diverge on the
-mismatch: restart into a FRESH sink (or one with schema evolution,
-e.g. Iceberg ``mergeSchema``) after upgrading.
+checkpoint written under the pre-r3 schema DIVERGES on the mismatch
+(proven by tests/test_streaming.py::
+test_streaming_restart_fresh_vs_stale_sink): the file sink accepts
+the widened rows, leaving a mixed-schema sink where plain reads
+resolve only one schema and pre-upgrade rows lack the new columns
+even under ``mergeSchema``.  Restart into a FRESH sink (or one with
+real schema evolution, e.g. Iceberg) after upgrading.  Note also that
+the stateful dedup's checkpointed WATERMARK carries across restarts:
+a resumed query drops newly-arrived batches whose event times fall
+behind it, independent of any schema change.
 """
 
 from __future__ import annotations
