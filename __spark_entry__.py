@@ -97,6 +97,12 @@ EAGER_QUERIES = {
     "dc_report_events",
     "fixdq_transform",
     "schema_checker_events",
+    # r5: the exact-dedup verdict auto-selects its physical strategy
+    # (window vs flood-safe groupBy+join) with a bounded limit-probe
+    # job at plan-construction time
+    "a5_dedup_survivors",
+    "w_quality_rule_counts",
+    "w_webtext_keep_stats",
 }
 
 

@@ -96,23 +96,52 @@ def release_dedup_caches(blocking: bool = False) -> int:
 
 # ---------------------------------------------------------------- exact
 def exact_duplicates(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    flood_safe: bool | None = None,
 ) -> DataFrame:
     """Adds is_dup: survivor = min(id) per sha2(text) group.
 
-    Skew-safe (r4): ``groupBy(min)`` finds survivors with map-side
-    partial aggregation (an identical-doc flood collapses to one row
-    per task pre-shuffle); membership is an AQE-splittable inner join
-    rather than a per-hash window that would co-locate every copy of
-    one viral doc in a single task."""
+    Same two physical strategies and auto-selection policy as
+    ``webtext.pipeline.duplicate_urls`` (r5): corpora below
+    FLOOD_SAFE_MIN_ROWS take the single-pass window plan (a dup group
+    is bounded by the corpus, so no task-breaking flood can exist);
+    bigger inputs use ``groupBy(min, count)`` — map-side partial
+    aggregation collapses an identical-doc flood pre-shuffle — with
+    membership for the ``count > 1`` groups only via an
+    AQE-splittable (usually broadcast) join."""
+    from ..webtext.pipeline import FLOOD_SAFE_MIN_ROWS
+
     h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     slim = df.select(F.col(id_col).alias("__id"), h.alias("__h"))
-    survivors = slim.groupBy("__h").agg(F.min("__id").alias("__surv"))
-    verdict = slim.join(survivors, "__h").select(
-        F.col("__id").alias(id_col),
-        (F.col("__id") != F.col("__surv")).alias("is_dup"),
+    if flood_safe is None:
+        flood_safe = (
+            df.select(id_col).limit(FLOOD_SAFE_MIN_ROWS).count()
+            >= FLOOD_SAFE_MIN_ROWS
+        )
+    if not flood_safe:
+        w = Window.partitionBy("__h").orderBy("__id")
+        dups = (
+            slim.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("__id").alias(id_col), F.lit(True).alias("is_dup"))
+        )
+    else:
+        dup_groups = (
+            slim.groupBy("__h")
+            .agg(F.min("__id").alias("__surv"), F.count("*").alias("__cnt"))
+            .filter(F.col("__cnt") > 1)
+            .drop("__cnt")
+        )
+        dups = (
+            slim.join(dup_groups, "__h")
+            .filter(F.col("__id") != F.col("__surv"))
+            .select(F.col("__id").alias(id_col), F.lit(True).alias("is_dup"))
+        )
+    return df.join(dups, id_col, "left").withColumn(
+        "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
     )
-    return df.join(verdict, id_col, "left")
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -75,8 +75,21 @@ def with_extracted(df: DataFrame, html: str = "html") -> DataFrame:
     return df.withColumn("extracted_text", extracted)
 
 
+# A duplicate-text GROUP bigger than the total row count cannot exist,
+# so below this bound the single-pass window verdict is safe by
+# construction: its worst case is one external-sorted window partition
+# of FLOOD_SAFE_MIN_ROWS slim rows (~2 GB spill sort, minutes), while
+# at 10^12 rows a viral page can have billions of copies and the
+# single sorting task would run for days — there the two-pass
+# groupBy(min) plan is mandatory.
+FLOOD_SAFE_MIN_ROWS = 20_000_000
+
+
 def duplicate_urls(
-    df: DataFrame, url_col: str = "url", text_col: str = "text"
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    flood_safe: bool | None = None,
 ) -> DataFrame:
     """The global dedup verdict: urls that are NOT the survivor of
     their sha2(text) group (survivor = lexicographically smallest url,
@@ -87,17 +100,52 @@ def duplicate_urls(
     persist this once and reuse it across bucket batches (the verdict
     must see ALL buckets — a survivor may live in another bucket).
 
-    Skew note (r4): the survivor is found by ``groupBy(min)`` — whose
-    map-side partial aggregation collapses an identical-doc flood to
-    one row per task BEFORE the shuffle — and membership by an inner
-    join, which AQE's skew handling can split.  The previous
-    ``row_number() over (partition by hash)`` required every copy of
-    one viral page co-located in a single unsplittable task."""
+    Two physical strategies, chosen by ``flood_safe`` (r5, settled by
+    the interleaved measurements in scripts/flagship_compare.py and
+    BASELINE.md §flagship):
+
+    - ``False``: single-pass ``row_number() over (partition by
+      hash)`` — one slim shuffle + per-partition sort; measured
+      ~2x faster end-to-end than any two-pass variant tried
+      (groupBy+join with a count>1-pruned build side, salted
+      two-level windows, persisted slim, int64-prefilter), BUT every
+      copy of one viral page lands in a single sorting task.
+    - ``True``: ``groupBy(min, count)`` — map-side partial
+      aggregation collapses an identical-doc flood to one row per
+      task BEFORE the shuffle — then membership for the
+      ``count > 1`` groups only via an AQE-splittable join (the build
+      side holds just the duplicated hashes, so it broadcasts at
+      realistic dup rates).  Costs a second scan + hash pass of the
+      probe side.
+    - ``None`` (default): bounded row probe — corpora under
+      :data:`FLOOD_SAFE_MIN_ROWS` cannot contain a task-breaking
+      flood (a dup group is bounded by the corpus), so they take the
+      fast window plan; anything bigger pays for flood safety."""
     h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     slim = df.select(F.col(url_col).alias("__u"), h.alias("__h"))
-    survivors = slim.groupBy("__h").agg(F.min("__u").alias("__surv"))
+    if flood_safe is None:
+        flood_safe = (
+            df.select(url_col).limit(FLOOD_SAFE_MIN_ROWS).count()
+            >= FLOOD_SAFE_MIN_ROWS
+        )
+    if not flood_safe:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__h").orderBy("__u")
+        return (
+            slim.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("__u").alias(url_col))
+            .withColumn("__is_dup", F.lit(True))
+        )
+    dup_groups = (
+        slim.groupBy("__h")
+        .agg(F.min("__u").alias("__surv"), F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") > 1)
+        .drop("__cnt")
+    )
     return (
-        slim.join(survivors, "__h")
+        slim.join(dup_groups, "__h")
         .filter(F.col("__u") != F.col("__surv"))
         .select(F.col("__u").alias(url_col))
         .withColumn("__is_dup", F.lit(True))

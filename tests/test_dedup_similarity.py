@@ -447,7 +447,7 @@ def test_multimodal_resize_and_audio_stages(spark):
 
     # real mode on payloads that aren't BMP/WAV: the NotImplementedError
     # now names the formats that truly need external libs (r04 item 5)
-    with _pytest.raises(Exception, match="BMP only"):
+    with _pytest.raises(Exception, match="BMP and 8-bit PNG"):
         resize_images(imgs, 8, 8, decode_mode="real").collect()
     with _pytest.raises(Exception, match="WAV only"):
         audio_features(auds, decode_mode="real").collect()

@@ -338,8 +338,12 @@ def test_pii_hit_count_golden(spark):
 
 
 def test_dedup_verdict_skew_safe_plan_and_flood(spark):
-    """r4: the exact-dedup survivor is groupBy(min) + join — no
-    per-hash window that would single-task an identical-doc flood."""
+    """r4/r5: the flood-safe exact-dedup strategy is groupBy(min) +
+    count>1-pruned join — no per-hash window that would single-task an
+    identical-doc flood; the count>1 filter keeps the join's build
+    side to just the duplicated hashes (r5).  Both strategies must
+    agree on the verdict, and the r5 auto-probe picks the fast window
+    plan for corpora too small to contain a task-breaking flood."""
     from pandas_dq_spark.webtext.pipeline import duplicate_urls, mark_duplicates
 
     rows = [(f"u{i:06d}", "the same viral page body") for i in range(5000)]
@@ -347,29 +351,41 @@ def test_dedup_verdict_skew_safe_plan_and_flood(spark):
     pdf = pd.DataFrame(rows, columns=["url", "text"])
     sdf = spark.createDataFrame(pdf).repartition(8)
 
-    d = duplicate_urls(sdf)
+    d = duplicate_urls(sdf, flood_safe=True)
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "hashpartitioning(__h" in plan  # slim (hash,url) shuffle only
+    # the build side is the count>1-filtered survivor table
+    assert "__cnt" in plan
 
     dups = {r["url"] for r in d.collect()}
     # survivor = lexicographically smallest url of the flood group
     assert dups == {f"u{i:06d}" for i in range(1, 5000)}
+
+    # auto-probe: 5200 rows << FLOOD_SAFE_MIN_ROWS -> window plan
+    d_auto = duplicate_urls(sdf)
+    assert "Window" in d_auto._jdf.queryExecution().executedPlan().toString()
+    assert {r["url"] for r in d_auto.collect()} == dups  # identical verdict
 
     marked = mark_duplicates(sdf)
     assert marked.filter("is_dup").count() == 4999
     assert marked.filter("NOT is_dup").count() == 201
 
 
-def test_quality_filter_plan_has_no_window_stage(spark):
-    """r4: after the dedup survivor rewrite the full pipeline contains
-    NO window operator — every stage is either a narrow projection, a
-    partial-aggregable groupBy, or an AQE-splittable join."""
+def test_quality_filter_plan_window_only_from_dedup_choice(spark):
+    """r4/r5: with a flood-safe dedup verdict the full pipeline
+    contains NO window operator — every stage is a narrow projection,
+    a partial-aggregable groupBy, or an AQE-splittable join.  (The r5
+    auto-probe deliberately picks the faster window verdict for small
+    corpora, so the no-window property is asserted through the
+    flood_safe=True verdict.)"""
     from pandas_dq_spark.webtext.fixtures import pages_df
     from pandas_dq_spark.webtext.heuristics import QualityConfig
-    from pandas_dq_spark.webtext.pipeline import quality_filter
+    from pandas_dq_spark.webtext.pipeline import duplicate_urls, quality_filter
 
-    out = quality_filter(pages_df(spark, 200), QualityConfig(min_words=20))
+    pages = pages_df(spark, 200)
+    verdict = duplicate_urls(pages, flood_safe=True)
+    out = quality_filter(pages, QualityConfig(min_words=20), dup_verdict=verdict)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
 
