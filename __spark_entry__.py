@@ -103,6 +103,8 @@ EAGER_QUERIES = {
     "a5_dedup_survivors",
     "w_quality_rule_counts",
     "w_webtext_keep_stats",
+    # r5: counts the corpus once for the idf denominator at build
+    "c_tfidf_top",
 }
 
 
@@ -784,6 +786,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_media_features"] = mm_media_features
 
+    # ---- corpus-preparation operators (r5: functions/corpus.py) -----
+    def c_sample_stats(spark, sf):
+        # deterministic md5-threshold sampling: pure function of the
+        # key, so DuckDB replays the identical predicate
+        from pandas_dq_spark.functions.corpus import deterministic_sample
+
+        d = _t(spark, sf, "documents")
+        kept = deterministic_sample(d, 0.25, "doc_id")
+        return kept.agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+
+    q["c_sample_stats"] = c_sample_stats
+
+    def c_lang_mix(spark, sf):
+        from pandas_dq_spark.functions.corpus import stratified_mix
+
+        d = _t(spark, sf, "documents")
+        mixed = stratified_mix(
+            d, {"en": 0.5, "de": 1.0}, stratum_col="lang",
+            key_col="doc_id", default_fraction=0.1,
+        )
+        return mixed.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+    q["c_lang_mix"] = c_lang_mix
+
+    def c_chunks(spark, sf):
+        from pandas_dq_spark.functions.corpus import chunk_documents
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+        return chunk_documents(d, chunk_words=40, overlap_words=10)
+
+    q["c_chunks"] = c_chunks
+
+    def c_tfidf_top(spark, sf):
+        from pandas_dq_spark.functions.corpus import tfidf_top_terms
+
+        d = _t(spark, sf, "documents")
+        # round to 4 decimals: the score mixes ln() evaluated by two
+        # libms (JVM vs DuckDB), identical to well past 1e-12 but not
+        # bit-pinned
+        out = tfidf_top_terms(d, k=15, min_df=5)
+        return out.select(
+            "term", "tf", "df", F.round("tfidf", 4).alias("tfidf")
+        )
+
+    q["c_tfidf_top"] = c_tfidf_top
+
     return q
 
 
@@ -1101,7 +1152,65 @@ def _ks_window_sql(col: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pandas_dq_spark.functions.corpus import hash_threshold as _ht
+
     return {
+        "c_sample_stats": f"""
+            SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_ht(0.25)}'
+        """,
+        "c_lang_mix": f"""
+            SELECT lang, count(*) AS n_kept FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang WHEN 'en' THEN '{_ht(0.5)}'
+                        WHEN 'de' THEN '{_ht(1.0)}'
+                        ELSE '{_ht(0.1)}' END
+            GROUP BY lang
+        """,
+        "c_chunks": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS words
+              FROM documents WHERE doc_id < 50
+            ), c AS (
+              SELECT doc_id, len(words) AS n, words,
+                     unnest(generate_series(0, (len(words) - 1) // 30))
+                       AS chunk_id
+              FROM w WHERE len(words) > 0
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   array_to_string(list_slice(words, chunk_id * 30 + 1,
+                                              chunk_id * 30 + 40),
+                                   ' ') AS chunk_text,
+                   CAST(least(40, n - chunk_id * 30) AS INT)
+                     AS chunk_n_words
+            FROM c
+        """,
+        "c_tfidf_top": r"""
+            WITH toks AS (
+              SELECT doc_id, lower(t.term) AS term
+              FROM documents,
+                   unnest(list_filter(regexp_split_to_array(
+                            coalesce(text, ''), '\s+'),
+                          x -> x <> '')) AS t(term)
+            ), td AS (
+              SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), st AS (
+              SELECT term, CAST(sum(tf) AS BIGINT) AS tf,
+                     count(*) AS df
+              FROM td GROUP BY 1
+            )
+            SELECT term, tf, df,
+                   round(round(tf * ln((SELECT count(*) FROM documents)
+                                       / df), 6), 4) AS tfidf
+            FROM st WHERE df >= 5
+            ORDER BY round(tf * ln((SELECT count(*) FROM documents) / df),
+                           6) DESC, term
+            LIMIT 15
+        """,
         "a17b_ks_many": f"""
             SELECT 'value' AS column, {_ks_window_sql('value')} AS ks
             UNION ALL

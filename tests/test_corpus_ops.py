@@ -1,0 +1,158 @@
+"""Corpus-preparation operators (functions/corpus.py): deterministic
+sampling / stratified mixing, document chunking, term statistics."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_dq_spark.functions.corpus import (
+    chunk_documents,
+    deterministic_sample,
+    hash_threshold,
+    stratified_mix,
+    term_stats,
+    tfidf_top_terms,
+)
+
+
+def _words(t):
+    return [w for w in re.split(r"\s+", t or "", flags=re.ASCII) if w]
+
+
+def test_hash_threshold_bounds():
+    assert hash_threshold(0.0) == "00000000"
+    # the supremum must sort above every hex hash (a 9-digit hex
+    # number would NOT: "100000000" < "2f..." lexicographically)
+    assert hash_threshold(1.0) == "g" > "ffffffff"
+    assert hash_threshold(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        hash_threshold(1.5)
+
+
+def test_deterministic_sample_reproducible_and_narrow(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = deterministic_sample(docs, 0.25, "doc_id")
+    b = deterministic_sample(docs, 0.25, "doc_id")
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # pure function of the key
+    n = docs.count()
+    assert 0.15 * n <= len(ids_a) <= 0.35 * n  # ~fraction at 32-bit hash
+    # a narrow filter: no shuffle anywhere in the plan
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # monotone: a smaller fraction selects a subset
+    ids_small = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, 0.1, "doc_id").select("doc_id").collect()
+    }
+    assert ids_small <= ids_a
+
+
+def test_stratified_mix_rates_and_default(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_mix(
+        df, {"en": 0.5, "de": 1.0}, stratum_col="lang", key_col="doc_id"
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["de"] == 2000  # fraction 1.0 keeps everything
+    assert 0.4 * 4000 <= got["en"] <= 0.6 * 4000
+    # absent stratum -> default_fraction (0.0 drops it entirely)
+    df2 = df.withColumn("lang", F.when(F.col("doc_id") < 100, "fr").otherwise(F.col("lang")))
+    out2 = stratified_mix(df2, {"en": 1.0}, stratum_col="lang", key_col="doc_id")
+    assert out2.filter("lang = 'fr'").count() == 0
+    assert out2.filter("lang = 'de'").count() == 0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    texts = [
+        (0, " ".join(f"w{i}" for i in range(100))),
+        (1, "only four words here"),
+        (2, ""),
+        (3, None),
+        (4, "  padded   with \t whitespace  "),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = chunk_documents(df, chunk_words=40, overlap_words=10).collect()
+    by_doc = defaultdict(dict)
+    for r in out:
+        by_doc[r["doc_id"]][r["chunk_id"]] = r
+
+    # doc 0: 100 words, step 30 -> starts 0,30,60,90 -> 4 chunks
+    assert sorted(by_doc[0]) == [0, 1, 2, 3]
+    words0 = _words(texts[0][1])
+    for cid, r in by_doc[0].items():
+        exp = words0[cid * 30 : cid * 30 + 40]
+        assert _words(r["chunk_text"]) == exp
+        assert r["chunk_n_words"] == len(exp)
+    # consecutive chunks share exactly the overlap
+    assert _words(by_doc[0][0]["chunk_text"])[-10:] == _words(by_doc[0][1]["chunk_text"])[:10]
+    # coverage: union of chunk words (de-overlapped) == original
+    recon = _words(by_doc[0][0]["chunk_text"])
+    for cid in range(1, 4):
+        recon += _words(by_doc[0][cid]["chunk_text"])[10:]
+    assert recon == words0
+
+    # short doc -> one whole chunk; empty/None -> no chunks
+    assert sorted(by_doc[1]) == [0]
+    assert by_doc[1][0]["chunk_text"] == "only four words here"
+    assert by_doc[1][0]["chunk_n_words"] == 4
+    assert 2 not in by_doc and 3 not in by_doc
+    assert by_doc[4][0]["chunk_text"] == "padded with whitespace"
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_words=10, overlap_words=10)
+
+
+def test_term_stats_and_tfidf_match_python(spark):
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, "cat CAT cat"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["term"]: (r["tf"], r["df"]) for r in term_stats(df).collect()}
+    tf, dfreq = Counter(), Counter()
+    for _i, t in texts:
+        ws = [w.lower() for w in _words(t)]
+        tf.update(ws)
+        dfreq.update(set(ws))
+    exp = {w: (tf[w], dfreq[w]) for w in tf}
+    assert got == exp
+
+    top = tfidf_top_terms(df, k=3, min_df=1, n_docs=4).collect()
+    scored = sorted(
+        ((w, round(tf[w] * math.log(4 / dfreq[w]), 6)) for w in tf),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert [(r["term"], r["tfidf"]) for r in top] == [
+        (w, pytest.approx(s, abs=1e-9)) for w, s in scored
+    ]
+
+
+def test_term_stats_plan_no_distinct_expand(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = term_stats(docs)
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    # df via two-level pre-aggregation, never count(DISTINCT) state
+    assert "Expand" not in plan
+    row = st.agg(F.sum("tf").alias("s")).first()
+    total = docs.select(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        )
+    ).first()[0]
+    assert row["s"] == total  # every token counted exactly once
