@@ -105,6 +105,8 @@ EAGER_QUERIES = {
     "w_webtext_keep_stats",
     # r5: counts the corpus once for the idf denominator at build
     "c_tfidf_top",
+    # r5: iterative label propagation runs its rounds at build
+    "c_components",
 }
 
 
@@ -835,6 +837,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c_tfidf_top"] = c_tfidf_top
 
+    def c_components(spark, sf):
+        # full clusters from the full-probe embedding near-dup pairs:
+        # DuckDB replays the pair predicate + a recursive transitive
+        # closure, so the component assignment is oracle-exact
+        from pandas_dq_spark.operators.dedup import (
+            connected_components,
+            embedding_near_duplicates,
+        )
+
+        e = _t(spark, sf, "embeddings")
+        pairs = embedding_near_duplicates(
+            e, "vec_id", threshold=0.45, planes=0, max_bucket=None
+        ).select("id_a", "id_b")
+        comp = connected_components(pairs)
+        return comp.select(
+            F.col("id").alias("vec_id"), F.col("comp").alias("component")
+        )
+
+    q["c_components"] = c_components
+
     return q
 
 
@@ -1210,6 +1232,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(tf * ln((SELECT count(*) FROM documents) / df),
                            6) DESC, term
             LIMIT 15
+        """,
+        "c_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON e.dst = reach.id
+            )
+            SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS component
+            FROM reach GROUP BY id
         """,
         "a17b_ks_many": f"""
             SELECT 'value' AS column, {_ks_window_sql('value')} AS ks

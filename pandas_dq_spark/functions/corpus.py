@@ -202,3 +202,65 @@ def tfidf_top_terms(
         .orderBy(F.col("tfidf").desc(), F.col("term"))
         .limit(k)
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_words: int = 512,
+    words_col: str = "chunk_n_words",
+    id_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy sequence packing: group chunks into training sequences
+    whose word totals stay within ``budget_words`` — the
+    context-window packing step between chunking and tokenization.
+
+    Global bin packing is inherently sequential, so the parallel
+    decomposition is: hash-partition chunks into ``n_buckets``
+    deterministic buckets (keyed on the id columns), then run the
+    greedy next-fit pass INSIDE each bucket over a deterministic
+    (id_cols) order via ``applyInPandas`` — packing quality is local
+    to a bucket, parallelism is across buckets, and the output is
+    identical under any cluster partitioning because both the bucket
+    assignment and the in-bucket order are pure functions of the data.
+    Oversized single chunks (> budget) get a sequence of their own.
+
+    Output: id columns + (pack_bucket, seq_id, seq_n_words), where
+    seq_id numbers sequences within a bucket."""
+    import pandas as pd
+
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols])
+    bucketed = chunks.withColumn(
+        "pack_bucket", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+    )
+    out_fields = ", ".join(
+        f"{name} {dtype}"
+        for name, dtype in zip(
+            (*id_cols, "pack_bucket", "seq_id", "seq_n_words"),
+            ("long", "int", "int", "int", "int"),
+        )
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(id_cols), kind="mergesort").reset_index(
+            drop=True
+        )
+        seq_ids, totals = [], []
+        seq, acc = 0, 0
+        for n in pdf[words_col]:
+            n = int(n)
+            if acc > 0 and acc + n > budget_words:
+                seq += 1
+                acc = 0
+            acc += n
+            seq_ids.append(seq)
+            totals.append(acc)
+        pdf = pdf.assign(seq_id=seq_ids)
+        # seq_n_words = final total of the sequence each row landed in
+        fin = pdf.assign(__t=totals).groupby("seq_id")["__t"].max()
+        pdf = pdf.assign(seq_n_words=pdf["seq_id"].map(fin))
+        return pdf[[*id_cols, "pack_bucket", "seq_id", "seq_n_words"]]
+
+    return bucketed.select(*id_cols, "pack_bucket", words_col).groupBy(
+        "pack_bucket"
+    ).applyInPandas(pack, schema=out_fields)

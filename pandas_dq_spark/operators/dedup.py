@@ -636,6 +636,105 @@ def ngram_jaccard_pairs(
     return out
 
 
+# ------------------------------------------ dedup cluster resolution
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: (id, component) with
+    ``component`` = the smallest id reachable through the pair graph —
+    the exact cluster assignment the one-pass min-id approximation in
+    the LSH operators trades away.
+
+    Iterative min-label propagation WITH pointer doubling,
+    Spark-first: each round is (a) one join (edges x labels) + one
+    map-side-combinable ``groupBy(min)`` — the Pregel step in
+    DataFrame algebra — and (b) a label-shortcut join (``comp :=
+    min(comp, comp[comp])``), which doubles the propagation distance
+    per round, so convergence needs O(log diameter) rounds instead of
+    O(diameter) — a 10^6-long chain converges in ~20 rounds, not
+    10^6.  Convergence is detected by counting label changes (one
+    action per round — the classic price of iteration on Spark), and
+    lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds so the plan does not grow unboundedly
+    (the standard iterative-algorithm hazard: without truncation
+    round k replays rounds 1..k-1).
+
+    Returns only ids that appear in ``pairs`` — singleton documents
+    are their own component by definition and never shuffle."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for it in range(max_iter):
+            # neighbor labels + own label, min per vertex
+            msgs = edges.join(
+                labels.withColumnRenamed("id", "dst"), "dst"
+            ).select(F.col("src").alias("id"), "comp")
+            prop = (
+                msgs.unionByName(labels)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
+            # pointer doubling: follow my label's own label (labels
+            # always point at real vertex ids, so the lookup is the
+            # same table)
+            hop = prop.select(
+                F.col("id").alias("comp"), F.col("comp").alias("comp2")
+            )
+            new_labels = prop.join(hop, "comp", "left").select(
+                "id",
+                F.coalesce(
+                    F.least("comp", "comp2"), F.col("comp")
+                ).alias("comp"),
+            )
+            if (it + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("comp", "old"), "id"
+                )
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            import warnings
+
+            warnings.warn(
+                f"connected_components: not converged after {max_iter} "
+                f"rounds ({changed} labels still moving) — components "
+                "may be split; raise max_iter"
+            )
+        # hand the result to the caller OUTSIDE our persist lifecycle
+        out = labels.select("id", "comp")
+        out = _default_handle.track(out.persist())
+        out.count()
+    finally:
+        edges.unpersist()
+        labels.unpersist()
+    return out
+
+
 # ------------------------------------------------- embedding near-dup
 def embedding_near_duplicates(
     df: DataFrame,

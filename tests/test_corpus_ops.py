@@ -156,3 +156,127 @@ def test_term_stats_plan_no_distinct_expand(spark, sf_dir):
         )
     ).first()[0]
     assert row["s"] == total  # every token counted exactly once
+
+
+def test_pack_chunks_greedy_budget_and_determinism(spark):
+    rng_rows = [(d, c, 1 + (d * 7 + c * 13) % 200) for d in range(40) for c in range(5)]
+    df = spark.createDataFrame(rng_rows, "doc_id long, chunk_id int, chunk_n_words int")
+    from pandas_dq_spark.functions.corpus import pack_chunks
+
+    out = pack_chunks(df, budget_words=256, n_buckets=8).collect()
+    assert len(out) == len(rng_rows)  # every chunk lands somewhere
+
+    # python replay of the per-bucket greedy next-fit
+    by_bucket = defaultdict(list)
+    for r in out:
+        by_bucket[r["pack_bucket"]].append(r)
+    words = {(d, c): n for d, c, n in rng_rows}
+    for b, rows in by_bucket.items():
+        rows = sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"]))
+        seq, acc, totals = 0, 0, defaultdict(int)
+        for r in rows:
+            n = words[(r["doc_id"], r["chunk_id"])]
+            if acc > 0 and acc + n > 256:
+                seq += 1
+                acc = 0
+            acc += n
+            assert r["seq_id"] == seq, (b, r)
+            totals[seq] += n
+        for r in rows:
+            assert r["seq_n_words"] == totals[r["seq_id"]]
+        # budget respected except oversized singletons
+        for s, t in totals.items():
+            members = [r for r in rows if r["seq_id"] == s]
+            assert t <= 256 or len(members) == 1
+
+    # deterministic under different input partitioning
+    out2 = pack_chunks(df.repartition(13), budget_words=256, n_buckets=8).collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert sorted(map(lambda r: r.asDict(), out2), key=lambda d: (d["doc_id"], d["chunk_id"])) == \
+        sorted(map(lambda r: r.asDict(), out), key=lambda d: (d["doc_id"], d["chunk_id"]))
+
+
+def test_connected_components_vs_union_find(spark):
+    from pandas_dq_spark.operators.dedup import (
+        connected_components,
+        release_dedup_caches,
+    )
+
+    # chain 0-1-2-3, triangle 10-11-12, star 20-{21,22,23}, bridge
+    # 3-10 merging chain+triangle; plus a long path to force >1 round
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12),
+             (3, 10), (20, 21), (20, 22), (20, 23)]
+    pairs += [(100 + i, 101 + i) for i in range(30)]  # path of 31:
+    # needs ~5 pointer-doubling rounds, would need 30 plain ones
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    release_dedup_caches()
+
+    # union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    exp = {x: find(x) for x in parent}
+    assert got == exp
+    assert got[12] == 0  # bridge merged the triangle into the chain
+    assert got[130] == 100  # the long path converged to its min
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    """Pointer doubling: a 200-edge path converges within max_iter=10
+    (plain min-propagation would need 200 rounds)."""
+    import warnings as _warnings
+
+    from pandas_dq_spark.operators.dedup import (
+        connected_components,
+        release_dedup_caches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # non-convergence would raise
+        got = {r["id"]: r["comp"] for r in
+               connected_components(df, max_iter=10).collect()}
+    release_dedup_caches()
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_connected_components_random_graph(spark):
+    import numpy as np
+
+    from pandas_dq_spark.operators.dedup import (
+        connected_components,
+        release_dedup_caches,
+    )
+
+    rng = np.random.default_rng(17)
+    edges = {(int(min(a, b)), int(max(a, b)))
+             for a, b in rng.integers(0, 400, (300, 2)) if a != b}
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    release_dedup_caches()
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in sorted(edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {x: find(x) for x in parent}
+    assert got == exp
