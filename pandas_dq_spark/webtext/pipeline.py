@@ -158,6 +158,7 @@ def mark_duplicates(
     text_col: str = "text",
     broadcast_dups: bool = True,
     verdict: DataFrame | None = None,
+    flood_safe: bool | None = None,
 ) -> DataFrame:
     """Join the dedup verdict back onto the main table.
 
@@ -168,7 +169,9 @@ def mark_duplicates(
     output's url-hash bucketing.  Pass a precomputed (persisted)
     ``verdict`` to share one dedup shuffle across batch runs."""
     dup_urls = (
-        verdict if verdict is not None else duplicate_urls(df, url_col, text_col)
+        verdict
+        if verdict is not None
+        else duplicate_urls(df, url_col, text_col, flood_safe=flood_safe)
     )
     if broadcast_dups:
         dup_urls = F.broadcast(dup_urls)
@@ -184,6 +187,7 @@ def quality_filter(
     check_extraction: bool = True,
     dup_verdict: DataFrame | None = None,
     udf_row_counter=None,
+    flood_safe: bool | None = None,
 ) -> DataFrame:
     """Full pipeline: returns the input columns plus stats, lang_pred/
     lang_score, ppl, is_dup, issues, dq_issue, keep, scrubbed_text,
@@ -196,7 +200,8 @@ def quality_filter(
 
     Score/verdict field names (:data:`RESERVED_OUTPUT_COLS`) are
     reserved: input columns with those names are dropped at entry, with
-    an Alert print."""
+    an Alert print.  ``flood_safe`` forwards to
+    :func:`duplicate_urls` (None = auto by row probe)."""
     cfg = cfg or QualityConfig()
     out = _drop_reserved(df)
     if check_extraction and "html" in df.columns:
@@ -216,7 +221,7 @@ def quality_filter(
         *[c for c in out.columns if c != "__ts"],
         *[F.col(f"__ts.{fld}").alias(fld) for fld in TEXT_SCORES_FIELDS],
     )
-    out = mark_duplicates(out, verdict=dup_verdict)
+    out = mark_duplicates(out, verdict=dup_verdict, flood_safe=flood_safe)
 
     rules = rule_exprs(cfg)
     issue_structs = [
