@@ -40,6 +40,7 @@ HEADLINE = [
 # stays comparable round-over-round
 EXTRA = [
     "m_simhash_near_dups",
+    "c_tfidf_top",
 ]
 
 

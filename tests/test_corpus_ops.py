@@ -280,3 +280,36 @@ def test_connected_components_random_graph(spark):
             parent[max(ra, rb)] = min(ra, rb)
     exp = {x: find(x) for x in parent}
     assert got == exp
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=120),
+    st.integers(min_value=2, max_value=50),
+    st.integers(min_value=0, max_value=40),
+)
+def test_chunk_math_property(n_words, chunk, overlap):
+    """Pure-python replica of the chunk-count / coverage math the
+    Catalyst expressions implement — exercised over the whole
+    parameter space (the Spark-side path is pinned by the example
+    tests and the c_chunks DuckDB oracle)."""
+    if overlap >= chunk:
+        return
+    step = chunk - overlap
+    n_chunks = 0 if n_words <= 0 else (n_words - 1) // step + 1
+    starts = [i * step for i in range(n_chunks)]
+    # every start is inside the doc, windows cover all words, and
+    # consecutive windows overlap by exactly `overlap` (or the doc end)
+    assert all(s < n_words for s in starts)
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(n_words, s + chunk)))
+    assert covered == set(range(n_words))
+    for a, b in zip(starts, starts[1:]):
+        assert a + chunk >= b + min(overlap, n_words - b)
+    # chunk_n_words expression: least(chunk, n - start) is never <= 0
+    for s in starts:
+        assert min(chunk, n_words - s) > 0
