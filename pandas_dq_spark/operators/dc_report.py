@@ -158,6 +158,13 @@ def dc_report(
             _at_least_rows(train, SAMPLE_CAP_ROWS)
             or _at_least_rows(test, SAMPLE_CAP_ROWS)
         )
+        if not exact:
+            # same visibility as dq_report's auto-flip (ADVICE r04)
+            print(
+                f"Alert: Detected dataframe size >= {SAMPLE_CAP_ROWS} rows. "
+                "Using scale-safe engine mode (pass exact=True for "
+                "reference-parity plans)."
+            )
     rep_tr, rep_te, dist_diff = build_dc_report(train, test, exclude, exact=exact)
     cols = rep_tr.columns
     if verbose:
