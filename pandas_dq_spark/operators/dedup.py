@@ -342,7 +342,8 @@ def _capped_bucket_pairs(
 
 
 def _split_identical(base: DataFrame, key: str) -> tuple[DataFrame, DataFrame]:
-    """(representatives, duplicate_ids) by exact equality of ``key``.
+    """(representatives, identical_pairs) by exact equality of ``key``:
+    ``identical_pairs`` is (id_a = group rep, id_b = other member).
 
     Groups with identical signatures are trivially near-dups of each
     other; collapsing them BEFORE banding shrinks everything
@@ -351,11 +352,13 @@ def _split_identical(base: DataFrame, key: str) -> tuple[DataFrame, DataFrame]:
     the hot-bucket star cap already bounds identical-doc floods, and
     pipelines that run exact dedup first (webtext.pipeline does) gain
     nothing from paying this shuffle again."""
-    w = Window.partitionBy(key).orderBy("id")
-    marked = base.withColumn("__rn", F.row_number().over(w))
-    reps = marked.filter(F.col("__rn") == 1).drop("__rn")
-    ident_dups = marked.filter(F.col("__rn") > 1).select("id")
-    return reps, ident_dups
+    w = Window.partitionBy(key)
+    marked = base.withColumn("__min", F.min("id").over(w))
+    reps = marked.filter(F.col("id") == F.col("__min")).drop("__min")
+    ident_pairs = marked.filter(F.col("id") != F.col("__min")).select(
+        F.col("__min").alias("id_a"), F.col("id").alias("id_b")
+    )
+    return reps, ident_pairs
 
 
 def minhash_lsh_duplicates(
@@ -371,6 +374,7 @@ def minhash_lsh_duplicates(
     collapse_identical: bool = False,
     stats: dict | None = None,
     cache: DedupCacheHandle | None = None,
+    return_pairs: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup marking.
 
@@ -382,7 +386,9 @@ def minhash_lsh_duplicates(
     including floods of byte-identical docs.  ``collapse_identical``
     additionally dedups identical signatures before banding (worth one
     extra shuffle on corpora with a high exact-dup rate where exact
-    dedup has NOT already run)."""
+    dedup has NOT already run).  ``return_pairs=True`` (r5) instead
+    returns the VERIFIED pair table (id_a, id_b) — the input to
+    :func:`connected_components` / :func:`near_dedup`."""
     rows = num_hashes // bands
     own = cache is None
     h = cache if cache is not None else DedupCacheHandle()
@@ -390,9 +396,9 @@ def minhash_lsh_duplicates(
         df, id_col, text_col, num_hashes, shingle_n, seed, cache=h
     )
     if collapse_identical:
-        reps, ident_dups = _split_identical(base, "sig")
+        reps, ident_pairs = _split_identical(base, "sig")
     else:
-        reps, ident_dups = base, None
+        reps, ident_pairs = base, None
     band_structs = F.array(
         *[
             F.struct(
@@ -424,9 +430,19 @@ def minhash_lsh_duplicates(
     confirmed = pairs.withColumn("match_frac", match_frac).filter(
         F.col("match_frac") >= threshold
     )
+    if return_pairs:
+        out_pairs = confirmed.select("id_a", "id_b")
+        if ident_pairs is not None:
+            out_pairs = out_pairs.unionByName(ident_pairs)
+        out_pairs = out_pairs.distinct()
+        if own:
+            out_pairs = _default_handle.track(out_pairs.persist())
+            out_pairs.count()
+            h.release()
+        return out_pairs
     dup_ids = confirmed.select(F.col("id_b").alias("id"))
-    if ident_dups is not None:
-        dup_ids = dup_ids.unionByName(ident_dups)
+    if ident_pairs is not None:
+        dup_ids = dup_ids.unionByName(ident_pairs.select(F.col("id_b").alias("id")))
     dup_ids = dup_ids.distinct()
     if own:
         # default lifecycle: materialize the tiny dup-id table, free
@@ -507,13 +523,16 @@ def simhash_duplicates(
     collapse_identical: bool = False,
     stats: dict | None = None,
     cache: DedupCacheHandle | None = None,
+    return_pairs: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: band the 64 bits into ``bands`` 16-bit keys —
     any pair within hamming distance < bands shares >= 1 exact band
     (pigeonhole), so bucketing on bands finds all candidates; verify
     with popcount.  Buckets above ``max_bucket`` degrade to star
     comparisons; ``collapse_identical`` optionally dedups identical
-    hashes pre-banding (see minhash_lsh_duplicates)."""
+    hashes pre-banding (see minhash_lsh_duplicates);
+    ``return_pairs=True`` returns the verified (id_a, id_b) table
+    instead of marking ``df``."""
     own = cache is None
     h = cache if cache is not None else DedupCacheHandle()
     base = h.track(
@@ -521,9 +540,9 @@ def simhash_duplicates(
         simhash_signatures(df, id_col, text_col).persist()
     )
     if collapse_identical:
-        reps, ident_dups = _split_identical(base, "sh")
+        reps, ident_pairs = _split_identical(base, "sh")
     else:
-        reps, ident_dups = base, None
+        reps, ident_pairs = base, None
     width = 64 // bands
     band_cols = F.array(
         *[
@@ -545,9 +564,19 @@ def simhash_duplicates(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     confirmed = pairs.filter(hamming <= max_hamming)
+    if return_pairs:
+        out_pairs = confirmed.select("id_a", "id_b")
+        if ident_pairs is not None:
+            out_pairs = out_pairs.unionByName(ident_pairs)
+        out_pairs = out_pairs.distinct()
+        if own:
+            out_pairs = _default_handle.track(out_pairs.persist())
+            out_pairs.count()
+            h.release()
+        return out_pairs
     dup_ids = confirmed.select(F.col("id_b").alias("id"))
-    if ident_dups is not None:
-        dup_ids = dup_ids.unionByName(ident_dups)
+    if ident_pairs is not None:
+        dup_ids = dup_ids.unionByName(ident_pairs.select(F.col("id_b").alias("id")))
     dup_ids = dup_ids.distinct()
     if own:
         dup_ids = _default_handle.track(dup_ids.persist())
@@ -733,6 +762,50 @@ def connected_components(
         edges.unpersist()
         labels.unpersist()
     return out
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    method: str = "minhash",
+    threshold: float = 0.7,
+    max_hamming: int = 3,
+    max_iter: int = 20,
+    **lsh_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end near-duplicate removal: verified LSH pairs
+    (``method`` = 'minhash' | 'simhash', via ``return_pairs=True``) ->
+    exact cluster resolution (:func:`connected_components`) -> keep
+    the min-id survivor of each cluster.
+
+    Returns ``(deduped_df, clusters)`` where ``clusters`` is
+    (id, component) for every clustered doc — component = min id of
+    the whole connected cluster, EXACT over the verified pair graph
+    (the single operators' one-pass min-id flag only approximates
+    this: a chain a~b~c with a<b<c flags b and c against different
+    partners; here all three resolve to component a, and exactly the
+    two non-survivors drop).  Docs in no pair survive untouched."""
+    if method == "minhash":
+        pairs = minhash_lsh_duplicates(
+            df, id_col, text_col, threshold=threshold,
+            return_pairs=True, **lsh_kwargs,
+        )
+    elif method == "simhash":
+        pairs = simhash_duplicates(
+            df, id_col, text_col, max_hamming=max_hamming,
+            return_pairs=True, **lsh_kwargs,
+        )
+    else:
+        raise ValueError(f"unknown near-dedup method: {method}")
+    clusters = connected_components(pairs, max_iter=max_iter)
+    drop = clusters.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    deduped = df.join(drop, id_col, "left_anti")
+    return deduped, clusters.select(
+        F.col("id").alias(id_col), F.col("comp").alias("component")
+    )
 
 
 # ------------------------------------------------- embedding near-dup

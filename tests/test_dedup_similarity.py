@@ -724,3 +724,54 @@ def test_real_mode_accepts_png(spark):
     assert np.array_equal(got, resize_bilinear_np(img, 4, 3))
     # RGBA input comes back as RGB PNG (alpha dropped pre-resize)
     assert decode_png(bytes(out[1]["payload"])).shape == (3, 4, 3)
+
+
+def test_near_dedup_end_to_end_clusters(spark):
+    """r5: LSH pairs -> connected components -> min-id survivors.
+    On the fixture (base i, near-copy i+1000, exact copy i+2000) every
+    cluster resolves to the base doc: exact copies always drop, and
+    whenever the near-copy is flagged it drops into the SAME component
+    as the exact copy (transitive closure over the pair graph)."""
+    from pandas_dq_spark.operators.dedup import near_dedup, release_dedup_caches
+
+    df = _near_dup_corpus(spark)
+    deduped, clusters = near_dedup(df, "doc_id", threshold=0.7)
+    kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    comp = {r["doc_id"]: r["component"] for r in clusters.collect()}
+    release_dedup_caches()
+
+    assert set(range(60)) <= kept           # every base doc survives
+    assert not kept & set(range(2000, 2060))  # exact copies all drop
+    assert len({d for d in range(1000, 1060) if d not in kept}) >= 48
+    # exact copies cluster to their base, transitively with the near
+    # copy when it was flagged
+    for i in range(60):
+        assert comp.get(i + 2000) == i
+        if i + 1000 in comp:
+            assert comp[i + 1000] == i
+    # survivors == docs whose component is themselves or unclustered
+    all_ids = {*range(60), *range(1000, 1060), *range(2000, 2060)}
+    assert kept == {d for d in all_ids if comp.get(d, d) == d}
+
+
+def test_return_pairs_matches_marking(spark):
+    """The pair surface and the marking surface agree: id_b of every
+    verified pair == the is_near_dup flag set (one-pass min-id)."""
+    from pandas_dq_spark.operators.dedup import (
+        minhash_lsh_duplicates,
+        release_dedup_caches,
+        simhash_duplicates,
+    )
+
+    df = _near_dup_corpus(spark, n_base=30)
+    for fn, kw in ((minhash_lsh_duplicates, {"threshold": 0.7}),
+                   (simhash_duplicates, {"max_hamming": 4})):
+        pairs = fn(df, "doc_id", return_pairs=True, **kw)
+        prows = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert all(a < b for a, b in prows)
+        flagged = {
+            r["doc_id"]
+            for r in fn(df, "doc_id", **kw).filter("is_near_dup").collect()
+        }
+        assert {b for _a, b in prows} == flagged
+        release_dedup_caches()
