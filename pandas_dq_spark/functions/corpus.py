@@ -233,12 +233,11 @@ def pack_chunks(
     bucketed = chunks.withColumn(
         "pack_bucket", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
     )
+    # id columns keep their INPUT types — any arity, any dtype
+    in_types = dict(chunks.dtypes)
     out_fields = ", ".join(
-        f"{name} {dtype}"
-        for name, dtype in zip(
-            (*id_cols, "pack_bucket", "seq_id", "seq_n_words"),
-            ("long", "int", "int", "int", "int"),
-        )
+        [f"{c} {in_types[c]}" for c in id_cols]
+        + ["pack_bucket int", "seq_id int", "seq_n_words int"]
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

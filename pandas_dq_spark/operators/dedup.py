@@ -694,6 +694,8 @@ def connected_components(
 
     Returns only ids that appear in ``pairs`` — singleton documents
     are their own component by definition and never shuffle."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

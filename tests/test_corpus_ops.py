@@ -313,3 +313,21 @@ def test_chunk_math_property(n_words, chunk, overlap):
     # chunk_n_words expression: least(chunk, n - start) is never <= 0
     for s in starts:
         assert min(chunk, n_words - s) > 0
+
+
+def test_pack_chunks_custom_id_cols(spark):
+    """id_cols of any arity/dtype pass through with their input types."""
+    from pandas_dq_spark.functions.corpus import pack_chunks
+
+    rows = [(f"u{d}", d, c, 50) for d in range(6) for c in range(3)]
+    df = spark.createDataFrame(
+        rows, "url string, doc_id int, chunk_id int, chunk_n_words int"
+    )
+    out = pack_chunks(
+        df, budget_words=120, id_cols=("url", "doc_id", "chunk_id"),
+        n_buckets=4,
+    )
+    assert dict(out.dtypes)["url"] == "string"
+    rows_out = out.collect()
+    assert len(rows_out) == len(rows)
+    assert all(r["seq_n_words"] <= 120 for r in rows_out)
