@@ -857,6 +857,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c_components"] = c_components
 
+    def _messy_urls(sf_df):
+        # deterministic messy urls from doc_id — DuckDB rebuilds the
+        # identical strings, so normalization is oracle-exact
+        d = F.col("doc_id")
+        return sf_df.filter(d < 200).select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
+                F.lit(".Example.COM"),
+                F.when(d % 2 == 0, ":443").otherwise(""),
+                F.lit("/Docs/"), d.cast("string"),
+                F.when(d % 3 == 0, "/").otherwise(""),
+                F.when(d % 5 == 0, "#Frag").otherwise(""),
+            ).alias("url"),
+        )
+
+    def w_url_normalize(spark, sf):
+        from pandas_dq_spark.webtext.urls import normalize_url, url_host
+
+        base = _messy_urls(_t(spark, sf, "documents"))
+        return base.select(
+            "doc_id",
+            normalize_url(F.col("url")).alias("norm_url"),
+            url_host(F.col("url")).alias("host"),
+        )
+
+    q["w_url_normalize"] = w_url_normalize
+
+    def w_host_blocklist(spark, sf):
+        from pandas_dq_spark.webtext.urls import filter_blocklisted_hosts, url_host
+
+        base = _messy_urls(_t(spark, sf, "documents"))
+        kept = filter_blocklisted_hosts(
+            base, ["www.site1.example.com", "WWW.Site4.Example.COM"]
+        )
+        return kept.select(url_host(F.col("url")).alias("host")).groupBy(
+            "host"
+        ).agg(F.count("*").alias("n_docs"))
+
+    q["w_host_blocklist"] = w_host_blocklist
+
     return q
 
 
@@ -1232,6 +1273,61 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(tf * ln((SELECT count(*) FROM documents) / df),
                            6) DESC, term
             LIMIT 15
+        """,
+        "w_url_normalize": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.Example.COM'
+                     || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+                     || '/Docs/' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END
+                       AS url
+              FROM documents WHERE doc_id < 200
+            ), s1 AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u
+              FROM u
+            ), s2 AS (
+              SELECT doc_id,
+                CASE WHEN regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://)(?:[^/@?#]*@)?([^/:?#]+)',
+                       2) <> ''
+                THEN lower(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://)(?:[^/@?#]*@)?([^/:?#]+)',
+                       1))
+                  || regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/@?#]*@)?', 1)
+                  || lower(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://)(?:[^/@?#]*@)?([^/:?#]+)',
+                       2))
+                  || regexp_replace(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+',
+                       '')
+                ELSE u END AS u2,
+                lower(regexp_extract(u,
+                  '^([A-Za-z][A-Za-z0-9+.-]*://)(?:[^/@?#]*@)?([^/:?#]+)',
+                  2)) AS host
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(u2, ':(?:80|443)([/?]|$)', '\1'),
+                     '/$', '') AS norm_url,
+                   host
+            FROM s2
+        """,
+        "w_host_blocklist": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     lower('www.site' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.example.com') AS host
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT host, count(*) AS n_docs FROM u
+            WHERE host NOT IN ('www.site1.example.com',
+                               'www.site4.example.com')
+            GROUP BY host
         """,
         "c_components": """
             WITH RECURSIVE pairs AS (
