@@ -898,6 +898,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w_host_blocklist"] = w_host_blocklist
 
+    def w_line_dedup(spark, sf):
+        # CCNet-style corpus-level boilerplate-line removal
+        from pandas_dq_spark.webtext.linededup import remove_repeated_lines
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        return remove_repeated_lines(
+            d, id_col="doc_id", min_docs=3
+        )
+
+    q["w_line_dedup"] = w_line_dedup
+
     return q
 
 
@@ -1328,6 +1339,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE host NOT IN ('www.site1.example.com',
                                'www.site4.example.com')
             GROUP BY host
+        """,
+        "w_line_dedup": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t
+              FROM documents WHERE doc_id < 300
+            ), l AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(t, chr(10)), 1)
+                       AS idx,
+                     unnest(string_split(t, chr(10))) AS line
+              FROM base
+            ), freq AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS d
+                FROM l WHERE trim(line) <> '' GROUP BY line
+              ) WHERE d >= 3
+            )
+            SELECT b.doc_id, coalesce(k.clean, '') AS clean_text
+            FROM base b LEFT JOIN (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx) AS clean
+              FROM l WHERE line NOT IN (SELECT line FROM freq)
+              GROUP BY doc_id
+            ) k USING (doc_id)
         """,
         "c_components": """
             WITH RECURSIVE pairs AS (
