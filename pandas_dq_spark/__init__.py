@@ -6,9 +6,22 @@ Public API mirrors the reference's four entry points
 north rule mandates (see BASELINE.json / SURVEY.md §7).
 """
 
+from .functions.corpus import (
+    chunk_documents,
+    deterministic_sample,
+    pack_chunks,
+    stratified_mix,
+    term_stats,
+    tfidf_top_terms,
+)
 from .operators.classify import classify_columns
 from .operators.dc_report import build_dc_report, dc_report
-from .operators.dedup import DedupCacheHandle, release_dedup_caches
+from .operators.dedup import (
+    DedupCacheHandle,
+    connected_components,
+    near_dedup,
+    release_dedup_caches,
+)
 from .operators.dq_report import DQReport, build_dq_report, dq_report
 from .operators.fix_dq import FixDQ, FixDQState
 from .operators.ks import (
@@ -33,6 +46,9 @@ from .plans.profile import (
     quantiles_bucketed,
 )
 from .session import get_spark
+from .webtext.linededup import frequent_lines, remove_repeated_lines
+from .webtext.training import prepare_training_corpus
+from .webtext.urls import filter_blocklisted_hosts, normalize_url, url_host
 
 # reference compatibility aliases (pandas_dq names)
 Fix_DQ = FixDQ
@@ -86,4 +102,19 @@ __all__ = [
     "profile",
     "quantiles",
     "quantiles_bucketed",
+    # training-data toolkit (r5)
+    "chunk_documents",
+    "connected_components",
+    "deterministic_sample",
+    "filter_blocklisted_hosts",
+    "frequent_lines",
+    "near_dedup",
+    "normalize_url",
+    "pack_chunks",
+    "prepare_training_corpus",
+    "remove_repeated_lines",
+    "stratified_mix",
+    "term_stats",
+    "tfidf_top_terms",
+    "url_host",
 ]
