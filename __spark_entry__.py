@@ -909,6 +909,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w_line_dedup"] = w_line_dedup
 
+    def d_decontaminate(spark, sf):
+        # benchmark-leakage screen: docs 0-9 play the eval set
+        from pandas_dq_spark.operators.dedup import mark_contaminated
+
+        d = _t(spark, sf, "documents")
+        ev = d.filter(F.col("doc_id") < 10)
+        tr = d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 400))
+        return mark_contaminated(tr, ev, "doc_id", shingle_n=8).select(
+            "doc_id", "is_contaminated"
+        )
+
+    q["d_decontaminate"] = d_decontaminate
+
     return q
 
 
@@ -1363,6 +1376,35 @@ def oracle_sql() -> dict[str, str]:
               FROM l WHERE line NOT IN (SELECT line FROM freq)
               GROUP BY doc_id
             ) k USING (doc_id)
+        """,
+        "d_decontaminate": r"""
+            WITH ev AS (
+              SELECT regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\s+') AS w
+              FROM documents WHERE doc_id < 10
+            ), evsh AS (
+              SELECT DISTINCT
+                     array_to_string(list_slice(w, i + 1, i + 8), ' ')
+                       AS sh
+              FROM ev, unnest(generate_series(0, len(w) - 8)) AS t(i)
+              WHERE len(w) >= 8
+            ), tr AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\s+') AS w
+              FROM documents WHERE doc_id >= 10 AND doc_id < 400
+            ), trsh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i + 1, i + 8), ' ')
+                       AS sh
+              FROM tr, unnest(generate_series(0, len(w) - 8)) AS t(i)
+              WHERE len(w) >= 8
+            )
+            SELECT t.doc_id, coalesce(h.hit, FALSE) AS is_contaminated
+            FROM tr t LEFT JOIN (
+              SELECT DISTINCT doc_id, TRUE AS hit
+              FROM trsh JOIN evsh USING (sh)
+            ) h USING (doc_id)
         """,
         "c_components": """
             WITH RECURSIVE pairs AS (

@@ -19,6 +19,8 @@ from .operators.dc_report import build_dc_report, dc_report
 from .operators.dedup import (
     DedupCacheHandle,
     connected_components,
+    decontaminate,
+    mark_contaminated,
     near_dedup,
     release_dedup_caches,
 )
@@ -105,9 +107,11 @@ __all__ = [
     # training-data toolkit (r5)
     "chunk_documents",
     "connected_components",
+    "decontaminate",
     "deterministic_sample",
     "filter_blocklisted_hosts",
     "frequent_lines",
+    "mark_contaminated",
     "near_dedup",
     "normalize_url",
     "pack_chunks",

@@ -766,6 +766,69 @@ def connected_components(
     return out
 
 
+def mark_contaminated(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing ANY
+    word ``shingle_n``-gram with the evaluation corpus (the standard
+    benchmark-leakage screen; 8-13 grams are the conventional window).
+
+    Scale shape: the eval corpus is small by definition (benchmarks),
+    so its distinct shingle set broadcasts; the training side's
+    shingle explode stays in the scan stage feeding a broadcast hash
+    join — the corpus itself never shuffles, only the (tiny) hit-id
+    set does.  Documents shorter than ``shingle_n`` words produce no
+    shingles and cannot be flagged."""
+    doc_sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(text_col, shingle_n))
+        ).alias("__sh"),
+    )
+    eval_sh = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(word_shingles(eval_text_col, shingle_n))
+            ).alias("__sh")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(eval_sh), "__sh")
+        .select("id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return df.join(
+        hits, df[id_col] == hits["id"], "left"
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("is_contaminated"), F.lit(False)).alias(
+            "is_contaminated"
+        ),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Drop the documents :func:`mark_contaminated` flags."""
+    marked = mark_contaminated(
+        df, eval_df, id_col, text_col, eval_text_col, shingle_n
+    )
+    return marked.filter(~F.col("is_contaminated")).drop("is_contaminated")
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str,

@@ -775,3 +775,37 @@ def test_return_pairs_matches_marking(spark):
         }
         assert {b for _a, b in prows} == flagged
         release_dedup_caches()
+
+
+def test_decontamination_flags_ngram_overlap(spark):
+    """r5: docs sharing any 8-gram with the eval set are flagged;
+    short docs and non-overlapping docs are not.  Python replay
+    oracle over the same shingle definition."""
+    from pandas_dq_spark.operators.dedup import decontaminate, mark_contaminated
+
+    eval_rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three four five six seven"),  # 7 words -> no 8-gram
+    ]
+    docs = [
+        # contains eval 8-gram "alpha..theta" inside a longer doc
+        (10, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+        # same words but one changed inside every window
+        (11, "prefix words alpha beta gamma delta CHANGED zeta eta theta suffix"),
+        # exact copy of the short eval doc: no 8-gram exists
+        (12, "one two three four five six seven"),
+        (13, "completely unrelated text " * 5),
+        (14, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "eval_id long, text string")
+
+    marked = mark_contaminated(df, ev, "doc_id")
+    got = {r["doc_id"]: r["is_contaminated"] for r in marked.collect()}
+    assert got == {10: True, 11: False, 12: False, 13: False, 14: False}
+
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval shingles broadcast
+
+    clean = decontaminate(df, ev, "doc_id")
+    assert {r["doc_id"] for r in clean.collect()} == {11, 12, 13, 14}
