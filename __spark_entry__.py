@@ -922,6 +922,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["d_decontaminate"] = d_decontaminate
 
+    def t_ngram_repetition(spark, sf):
+        # Gopher-style within-doc duplicate n-gram fractions
+        from pandas_dq_spark.functions.textstats import duplicate_ngram_fraction
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        return d.select(
+            "doc_id",
+            F.round(duplicate_ngram_fraction(F.col("text"), 2), 6).alias("dup2"),
+            F.round(duplicate_ngram_fraction(F.col("text"), 3), 6).alias("dup3"),
+        )
+
+    q["t_ngram_repetition"] = t_ngram_repetition
+
     return q
 
 
@@ -1376,6 +1389,32 @@ def oracle_sql() -> dict[str, str]:
               FROM l WHERE line NOT IN (SELECT line FROM freq)
               GROUP BY doc_id
             ) k USING (doc_id)
+        """,
+        "t_ngram_repetition": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\s+') AS w
+              FROM documents WHERE doc_id < 100
+            ), g AS (
+              SELECT doc_id,
+                CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+                  list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1]) END AS g2,
+                CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[]) ELSE
+                  list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i + 1] || ' '
+                                      || w[i + 2]) END AS g3
+              FROM w
+            )
+            SELECT doc_id,
+              round(CASE WHEN len(g2) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                               / len(g2) END, 6) AS dup2,
+              round(CASE WHEN len(g3) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                               / len(g3) END, 6) AS dup3
+            FROM g
         """,
         "d_decontaminate": r"""
             WITH ev AS (

@@ -118,3 +118,30 @@ def fingerprint(text: Column) -> Column:
 def line_hashes(text: Column) -> Column:
     """Per-line hashes (for repeated-line / line-level dedup ops)."""
     return F.transform(F.split(text, "\n"), lambda l: F.xxhash64(l))
+
+
+def duplicate_ngram_fraction(text: Column, n: int) -> Column:
+    """Gopher-style within-document repetition signal: the fraction of
+    word ``n``-grams that are repeats of an earlier one
+    (``1 - distinct/total``; 0.0 for docs with < ``n`` words).
+
+    Pure array expressions (the same n-gram construction as
+    dedup.word_shingles, inlined over an arbitrary column expression)
+    — the n-gram list never leaves the row, so this composes into any
+    fused projection."""
+    w = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    grams = F.when(
+        F.size(w) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / total
+    )

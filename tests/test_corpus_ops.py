@@ -331,3 +331,29 @@ def test_pack_chunks_custom_id_cols(spark):
     rows_out = out.collect()
     assert len(rows_out) == len(rows)
     assert all(r["seq_n_words"] <= 120 for r in rows_out)
+
+
+def test_duplicate_ngram_fraction(spark):
+    from pandas_dq_spark.functions.textstats import duplicate_ngram_fraction
+
+    rows = [
+        (0, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> 2 distinct of 5
+        (1, "w x y z"),            # all distinct
+        (2, "only two"),           # 1 bigram
+        (3, "single"),             # < n words -> 0.0
+        (4, ""),
+        (5, None),
+        (6, "r r r r r r r r"),    # all identical
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            F.round(duplicate_ngram_fraction(F.col("text"), 2), 6).alias("f"),
+        ).collect()
+    }
+    assert got[0] == pytest.approx(1 - 2 / 5)
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert got[3] == 0.0 and got[4] == 0.0 and got[5] == 0.0
+    assert got[6] == pytest.approx(1 - 1 / 7)
