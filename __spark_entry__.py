@@ -923,14 +923,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d_decontaminate"] = d_decontaminate
 
     def t_ngram_repetition(spark, sf):
-        # Gopher-style within-doc duplicate n-gram fractions
-        from pandas_dq_spark.functions.textstats import duplicate_ngram_fraction
+        # Gopher-style within-doc repetition: duplicate n-gram
+        # fractions + the top-bigram's share (the oracle computes the
+        # latter via an INDEPENDENT unnest+groupBy mode, vs the
+        # sorted-array run-length fold here)
+        from pandas_dq_spark.functions.textstats import (
+            duplicate_ngram_fraction,
+            top_ngram_fraction,
+        )
 
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
         return d.select(
             "doc_id",
             F.round(duplicate_ngram_fraction(F.col("text"), 2), 6).alias("dup2"),
             F.round(duplicate_ngram_fraction(F.col("text"), 3), 6).alias("dup3"),
+            F.round(top_ngram_fraction(F.col("text"), 2), 6).alias("top2"),
         )
 
     q["t_ngram_repetition"] = t_ngram_repetition
@@ -1407,14 +1414,22 @@ def oracle_sql() -> dict[str, str]:
                                       || w[i + 2]) END AS g3
               FROM w
             )
-            SELECT doc_id,
+            SELECT g.doc_id,
               round(CASE WHEN len(g2) = 0 THEN 0.0
                     ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
                                / len(g2) END, 6) AS dup2,
               round(CASE WHEN len(g3) = 0 THEN 0.0
                     ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
-                               / len(g3) END, 6) AS dup3
-            FROM g
+                               / len(g3) END, 6) AS dup3,
+              round(coalesce(t.top2, 0.0), 6) AS top2
+            FROM g LEFT JOIN (
+              SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2
+              FROM (
+                SELECT doc_id, u.gram, count(*) AS c
+                FROM g, unnest(g.g2) AS u(gram)
+                GROUP BY doc_id, u.gram
+              ) GROUP BY doc_id
+            ) t USING (doc_id)
         """,
         "d_decontaminate": r"""
             WITH ev AS (

@@ -145,3 +145,51 @@ def duplicate_ngram_fraction(text: Column, n: int) -> Column:
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(grams)) / total
     )
+
+
+def top_ngram_fraction(text: Column, n: int) -> Column:
+    """Gopher's other repetition signal: the fraction of word
+    ``n``-grams taken by the single MOST FREQUENT n-gram
+    (``max_count / total``; 0.0 for docs with < ``n`` words).
+
+    Fully Catalyst: sort the gram array, then one ``aggregate`` fold
+    with a struct accumulator (prev, run, best) finds the longest run
+    of equal neighbors — the mode's count — without the per-doc
+    explode+groupBy a naive plan would shuffle."""
+    w = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    grams = F.when(
+        F.size(w) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    sorted_g = F.sort_array(grams)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    folded = F.aggregate(
+        sorted_g,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1))
+            .otherwise(acc["run"] + 1)
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1))
+                .otherwise(acc["run"] + 1),
+            ).alias("best"),
+        ),
+    )
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        folded["best"] / total
+    )

@@ -357,3 +357,27 @@ def test_duplicate_ngram_fraction(spark):
     assert got[1] == 0.0 and got[2] == 0.0
     assert got[3] == 0.0 and got[4] == 0.0 and got[5] == 0.0
     assert got[6] == pytest.approx(1 - 1 / 7)
+
+
+def test_top_ngram_fraction(spark):
+    from pandas_dq_spark.functions.textstats import top_ngram_fraction
+
+    rows = [
+        (0, "a b a b a b"),    # bigrams: [ab, ba, ab, ba, ab] -> 3/5
+        (1, "w x y z"),        # all distinct -> 1/3
+        (2, "single"),         # < n -> 0.0
+        (3, ""),
+        (4, "r r r r"),        # all identical -> 3/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            F.round(top_ngram_fraction(F.col("text"), 2), 6).alias("f"),
+        ).collect()
+    }
+    assert got[0] == pytest.approx(3 / 5)
+    assert got[1] == pytest.approx(1 / 3)
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert got[4] == pytest.approx(1.0)
