@@ -48,6 +48,7 @@ from .plans.profile import (
     quantiles_bucketed,
 )
 from .session import get_spark
+from .sources.io import write_training_shards
 from .webtext.linededup import frequent_lines, remove_repeated_lines
 from .webtext.training import prepare_training_corpus
 from .webtext.urls import filter_blocklisted_hosts, normalize_url, url_host
@@ -121,4 +122,5 @@ __all__ = [
     "term_stats",
     "tfidf_top_terms",
     "url_host",
+    "write_training_shards",
 ]

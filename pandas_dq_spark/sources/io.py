@@ -62,3 +62,37 @@ def write_partitioned(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.option("partitionOverwriteMode", "dynamic").parquet(path)
+
+
+def write_training_shards(
+    df,
+    path: str,
+    docs_per_shard: int = 100_000,
+    key_col: str | None = None,
+    compression: str = "gzip",
+) -> int:
+    """Export a prepared corpus as sharded JSONL (the format training
+    jobs stream): one JSON object per line, ``ceil(n/docs_per_shard)``
+    shards, returns the shard count.
+
+    Sharding is deterministic when ``key_col`` is given — rows are
+    hash-assigned by the key, so re-exports place every document in
+    the same shard (resumable/verifiable exports); otherwise a plain
+    repartition balances rows without a stable assignment.  The
+    JSON encoding and the write are one narrow pass after the
+    exchange."""
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    n_shards = max(1, -(-n // docs_per_shard))
+    if key_col is not None:
+        out = df.repartition(n_shards, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)))
+    else:
+        out = df.repartition(n_shards)
+    (
+        out.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .text(path)
+    )
+    return n_shards

@@ -220,3 +220,46 @@ def test_csv_scan(spark, tmp_path):
 
     out = read_any(spark, p)
     assert out.count() == 2 and out.columns == ["a", "b"]
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """r5: sharded JSONL export — deterministic hash sharding, exact
+    round-trip through spark.read.json."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pandas_dq_spark.sources.io import write_training_shards
+
+    df = spark.range(500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.concat(F.lit("text "), F.col("id")).alias("chunk_text"),
+        (F.col("id") % 7).alias("seq_id"),
+    )
+    out = str(tmp_path / "shards")
+    n_shards = write_training_shards(df, out, docs_per_shard=100, key_col="url")
+    assert n_shards == 5
+
+    back = spark.read.json(out)
+    assert back.count() == 500
+    got = {r["url"]: (r["chunk_text"], r["seq_id"]) for r in back.collect()}
+    assert got["u7"] == ("text 7", 0)
+    assert len(got) == 500
+
+    # deterministic: re-export places identical rows per shard file set
+    import glob
+    import gzip
+
+    def shard_map(p):
+        m = {}
+        for f in sorted(glob.glob(f"{p}/part-*")):
+            opener = gzip.open if f.endswith(".gz") else open
+            with opener(f, "rt") as fh:
+                for line in fh:
+                    m[json.loads(line)["url"]] = f.split("/")[-1].split("-")[1]
+        return m
+    a = shard_map(out)
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df, out2, docs_per_shard=100, key_col="url")
+    b = shard_map(out2)
+    assert a == b
