@@ -381,3 +381,31 @@ def test_top_ngram_fraction(spark):
     assert got[1] == pytest.approx(1 / 3)
     assert got[2] == 0.0 and got[3] == 0.0
     assert got[4] == pytest.approx(1.0)
+
+
+def test_stratified_mix_null_stratum_gets_default(spark):
+    rows = [(1, "en"), (2, None), (3, None), (4, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_mix(
+        df, {"en": 1.0}, stratum_col="lang", key_col="doc_id",
+        default_fraction=0.0,
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1, 4}  # NULL stratum falls through to the default
+    keep_all = stratified_mix(
+        df, {"en": 1.0}, stratum_col="lang", key_col="doc_id",
+        default_fraction=1.0,
+    )
+    assert keep_all.count() == 4
+
+
+def test_connected_components_empty_pairs(spark):
+    from pandas_dq_spark.operators.dedup import (
+        connected_components,
+        release_dedup_caches,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components(empty)
+    assert out.count() == 0
+    release_dedup_caches()

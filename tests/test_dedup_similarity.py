@@ -809,3 +809,15 @@ def test_decontamination_flags_ngram_overlap(spark):
 
     clean = decontaminate(df, ev, "doc_id")
     assert {r["doc_id"] for r in clean.collect()} == {11, 12, 13, 14}
+
+
+def test_decontamination_empty_eval_set(spark):
+    from pandas_dq_spark.operators.dedup import mark_contaminated
+
+    df = spark.createDataFrame(
+        [(0, "some training document with plenty of words in it today")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([], "eval_id long, text string")
+    got = mark_contaminated(df, ev, "doc_id").collect()
+    assert [r["is_contaminated"] for r in got] == [False]

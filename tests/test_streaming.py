@@ -201,3 +201,31 @@ def test_streaming_restart_fresh_vs_stale_sink(spark, tmp_path):
     fresh = spark.read.parquet(sink2)
     assert fresh.count() == n_all
     assert fresh.filter(F.col("n_chars").isNull()).count() == 0
+
+
+def test_streaming_drops_reserved_input_columns(spark, tmp_path, capsys):
+    """ADVICE r04 parity for the streaming surface: colliding input
+    columns are dropped at entry, not duplicated."""
+    src, _ = _write_pages(spark, tmp_path, n=60)
+    schema = PAGES_SCHEMA + ", n_chars int, keep boolean"
+    # source parquet lacks the extra columns; rewrite with them
+    pre = spark.read.schema(PAGES_SCHEMA).parquet(src)
+    src2 = str(tmp_path / "src2")
+    pre.withColumn("n_chars", F.lit(-1)).withColumn(
+        "keep", F.lit(False)
+    ).write.parquet(src2)
+    stream = spark.readStream.schema(schema).parquet(src2)
+    out = streaming_quality_filter(stream, QualityConfig(min_words=20))
+    assert "collide with pipeline output names" in capsys.readouterr().out
+    assert len(out.columns) == len(set(out.columns))
+    q = (
+        out.select("url", "keep", "n_chars")
+        .writeStream.format("memory")
+        .queryName("wt_reserved")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_res"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wt_reserved").collect()
+    assert rows and all(r["n_chars"] > 0 for r in rows)  # computed, not -1
