@@ -61,3 +61,36 @@ def test_blocklist_isin_and_antijoin_agree(spark, urls_df):
     assert len(a) == len(CASES) - 3  # two Host.com rows + one f.com
     # empty blocklist is the identity
     assert filter_blocklisted_hosts(urls_df, []).count() == len(CASES)
+
+
+def test_normalize_url_idempotent_fuzz(spark):
+    """Seeded fuzz over url-ish strings: normalization is idempotent
+    and host-preserving in one batched Spark job."""
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http://", "HTTPS://", "ftp://", ""]
+    hosts = ["Example.com", "WWW.SITE.ORG", "h", "a.b.c.d", "127.0.0.1"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/B", "/x/y/", "/p?q=UPPER&r=2", "/p#Frag", "#only"]
+    users = ["", "User@", "a:b@"]
+    rows = []
+    for _ in range(500):
+        rows.append((
+            rng.choice(schemes) + rng.choice(users) + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths),
+        ))
+    rows += [("",), ("   ",), ("no scheme at all",), ("://broken",)]
+    df = spark.createDataFrame(rows, "url string")
+    once = normalize_url(F.col("url"))
+    chk = df.select(
+        F.col("url"),
+        once.alias("n1"),
+        normalize_url(once).alias("n2"),
+        url_host(F.col("url")).alias("h0"),
+        url_host(once).alias("h1"),
+    )
+    bad = chk.filter(
+        (F.col("n1") != F.col("n2")) | (F.col("h0") != F.col("h1"))
+    ).collect()
+    assert not bad, bad[:5]
