@@ -37,6 +37,12 @@ class QualityConfig:
     max_perplexity: float = 1500.0
     n_buckets: int = 64
     stopwords: tuple = tuple(EN_STOPWORDS)
+    # Gopher's duplicate-n-gram repetition rule — OPT-IN (None = off):
+    # the default rule set is pinned by the keep/drop F1 parity suite
+    # against the frozen reference labels, so new rules must not fire
+    # unless explicitly configured
+    max_dup_ngram_frac: float | None = None
+    dup_ngram_n: int = 3
 
 
 _WS = r"\s+"
@@ -98,6 +104,8 @@ def add_stats(df: DataFrame, cfg: QualityConfig, text_col: str = "text") -> Data
 # Names deliberately mirror the pandas_dq check vocabulary
 # (missing / outlier / rare category / duplicate / high cardinality).
 def rule_exprs(cfg: QualityConfig) -> list[tuple[str, Column, str]]:
+    from ..functions.textstats import duplicate_ngram_fraction
+
     c = F.col
     return [
         (
@@ -165,4 +173,18 @@ def rule_exprs(cfg: QualityConfig) -> list[tuple[str, Column, str]]:
             c("is_dup"),
             "Exact duplicate of another document (duplicate-row analogue).",
         ),
-    ]
+    ] + (
+        [
+            (
+                "repetitive_ngrams",
+                # computed from the raw text (pure array expressions,
+                # fuses into the same projection as the other rules)
+                duplicate_ngram_fraction(c("text"), cfg.dup_ngram_n)
+                > cfg.max_dup_ngram_frac,
+                f"Duplicate {cfg.dup_ngram_n}-gram fraction above "
+                f"{cfg.max_dup_ngram_frac} (Gopher repetition rule).",
+            )
+        ]
+        if cfg.max_dup_ngram_frac is not None
+        else []
+    )

@@ -452,3 +452,34 @@ def test_host_salting_profile_driven(spark):
     assert sum(v[0] for v in by_host.values()) == n
     exp_kept = sum(1 for u, k in rows if k and "hot" in u)
     assert by_host["hot.example"][1] == exp_kept
+
+
+def test_optional_gopher_repetition_rule(spark):
+    """r5: the duplicate-n-gram rule is OPT-IN — default config keeps
+    F1 parity (rule absent), configured it drops repetitive docs with
+    its own issue entry."""
+    from pandas_dq_spark.webtext.heuristics import rule_exprs
+
+    assert "repetitive_ngrams" not in {
+        n for n, _p, _d in rule_exprs(QualityConfig())
+    }
+
+    body = ("buy cheap items now " * 40).strip()           # highly repetitive
+    clean = " ".join(f"distinctword{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [("u1", body), ("u2", clean)], "url string, text string"
+    )
+    cfg = QualityConfig(
+        min_words=10, min_stopword_frac=0.0, min_lang_score=0.0,
+        max_perplexity=1e9, target_lang="en",
+        max_dup_ngram_frac=0.5, dup_ngram_n=3,
+    )
+    out = quality_filter(df, cfg, check_extraction=False)
+    rows = {r["url"]: r for r in out.collect()}
+    assert not rows["u1"]["keep"]
+    assert any(
+        i["check"] == "repetitive_ngrams" for i in rows["u1"]["issues"]
+    )
+    assert all(
+        i["check"] != "repetitive_ngrams" for i in rows["u2"]["issues"]
+    )
