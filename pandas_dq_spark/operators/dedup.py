@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -183,53 +185,95 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signature table, JVM-side.
 
-    Two materialization barriers on purpose: Catalyst's
-    CollapseProject would otherwise inline the shingling expression
-    into each of the k permutation-min expressions (k x the string
-    work) and again into both sides of the LSH self-join.  Shingle
-    hashes are persisted, the signature table is persisted and
-    materialized, then the intermediate is released.  At cluster scale
-    the signature table is exactly what you'd write to storage.
+    One materialization barrier on purpose: the signature table is
+    persisted so the LSH self-join doesn't recompute it per subtree
+    (the first downstream job — the hot-bucket probe — materializes
+    it; callers that skip the probe must materialize it themselves).
+    At cluster scale the signature table is exactly what you'd write
+    to storage.  r6: the shingle-hash intermediate is no longer
+    persisted — the kernel now consumes the per-word hash arrays in
+    the same stage it tokenizes (the old cache write+read of the
+    O(tokens) arrays, and its extra materialization job, were pure
+    overhead once the too-short-doc filter moved AFTER the kernel:
+    with the filter on the kernel's null output, the ``wh`` expression
+    has exactly one consumer, so nothing is double-evaluated).
 
     Division of labor (measured at 5k docs / 1.5M words): per-WORD
     xxhash64 stays JVM-side (~3s incl. scan); shingle combination and
-    the k permutation minima run in ONE vectorized numpy UDF (~1s).
-    The pure-expression alternatives are pathological: a nested
-    transform indexing an outer array re-evaluates the outer array per
-    element (O(words^2) per doc, 12s), and k array_min(transform(...))
-    expressions cost ~25s of analysis+evaluation."""
+    the k permutation minima run in ONE Arrow-native numpy UDF (r6:
+    ``F.arrow_udf`` — the hash lists arrive as ListArray buffers, the
+    whole batch's shingle hashes are built with ONE vectorized pass
+    over the flattened values, and per-doc permutation minima are
+    ``np.minimum.reduceat`` segment reductions; no per-doc Python loop
+    and no Python list materialization).  The pure-expression
+    alternatives are pathological: a nested transform indexing an
+    outer array re-evaluates the outer array per element (O(words^2)
+    per doc, 12s), and k array_min(transform(...)) expressions cost
+    ~25s of analysis+evaluation."""
     w = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     wh = F.transform(w, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    word_hashes = (
-        df.select(F.col(id_col).alias("id"), wh.alias("wh"))
-        .filter(F.size("wh") >= shingle_n)
-        .persist()
-    )
     params = np.array(_perm_params(num_hashes, seed), dtype=np.int64)
     a_vec, b_vec = params[:, 0], params[:, 1]
     c1, c2 = 1000003, 998244353
+    k = num_hashes
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def shingle_perm_mins(whs: pd.Series) -> pd.Series:
-        out = []
-        for h in whs:
-            harr = np.asarray(h, dtype=np.int64)
-            # word n-gram shingle hashes, vectorized over the doc
-            sh = harr[: len(harr) - shingle_n + 1] * c1
-            sh = sh + harr[1 : len(harr) - shingle_n + 2] * c2
-            for j in range(2, shingle_n):
-                sh = (sh % _MERSENNE) + harr[j : len(harr) - shingle_n + 1 + j]
-            sh = sh % _MERSENNE
-            # (a*sh + b) mod M, min per permutation; < 2^62, fits int64
-            m = ((a_vec[:, None] * sh[None, :]) + b_vec[:, None]) % _MERSENNE
-            out.append(m.min(axis=1).tolist())
-        return pd.Series(out)
+    @F.arrow_udf(T.ArrayType(T.LongType()))
+    def shingle_perm_mins(whs: pa.Array) -> pa.Array:
+        if isinstance(whs, pa.ChunkedArray):
+            whs = whs.combine_chunks()
+        n = len(whs)
+        if n == 0:
+            return pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()), pa.array([], type=pa.int64())
+            )
+        lens = np.asarray(pc.list_value_length(whs), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(whs), dtype=np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        valid = lens >= shingle_n  # too-short docs -> null signature
+        n_sh = np.where(valid, lens - shingle_n + 1, 0)
+        csum_excl = np.zeros(n, dtype=np.int64)
+        np.cumsum(n_sh[:-1], out=csum_excl[1:])
+        total = int(n_sh.sum())
+        if total == 0:
+            offs = np.zeros(n + 1, dtype=np.int32)
+            return pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array([], type=pa.int64()),
+                mask=pa.array(~valid),
+            )
+        # flat index of every doc's shingle windows (windows crossing
+        # doc boundaries are never generated)
+        idx = np.arange(total, dtype=np.int64) + np.repeat(
+            starts - csum_excl, n_sh
+        )
+        # word n-gram shingle hashes, vectorized over the whole batch
+        sh = flat[idx] * c1 + flat[idx + 1] * c2
+        for j in range(2, shingle_n):
+            sh = (sh % _MERSENNE) + flat[idx + j]
+        sh = sh % _MERSENNE
+        # (a*sh + b) mod M, min per (doc, permutation); < 2^62, fits
+        # int64.  One permutation at a time keeps the temporary at
+        # O(shingles), not O(k x shingles).
+        vstarts = csum_excl[valid]
+        nv = int(valid.sum())
+        sig = np.empty((nv, k), dtype=np.int64)
+        for p in range(k):
+            m = (a_vec[p] * sh + b_vec[p]) % _MERSENNE
+            sig[:, p] = np.minimum.reduceat(m, vstarts)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.where(valid, k, 0), out=offs[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), type=pa.int32()),
+            pa.array(sig.ravel(), type=pa.int64()),
+            mask=pa.array(~valid),
+        )
 
-    sig = word_hashes.select(
-        "id", shingle_perm_mins(F.col("wh")).alias("sig")
-    ).persist()
-    sig.count()  # materialize before releasing the word-hash arrays
-    word_hashes.unpersist()
+    sig = (
+        df.select(F.col(id_col).alias("id"), shingle_perm_mins(wh).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .persist()
+    )
     # the persisted signature table is reclaimable: via the caller's
     # handle, or release_dedup_caches() on the default path
     (cache or _default_handle).track(sig)
@@ -395,6 +439,11 @@ def minhash_lsh_duplicates(
     base = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, seed, cache=h
     )
+    if max_bucket is None:
+        # no hot-bucket probe job will run, so materialize the
+        # persisted signature table before the self-join references it
+        # from two subtrees (a cold cache would be computed twice)
+        base.count()
     if collapse_identical:
         reps, ident_pairs = _split_identical(base, "sig")
     else:
@@ -462,11 +511,13 @@ def minhash_lsh_duplicates(
 
 
 # -------------------------------------------------------------- simhash
-@F.pandas_udf(T.LongType())
-def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+@F.arrow_udf(T.LongType())
+def simhash_from_hashes(hashes: pa.Array) -> pa.Array:
     """64-bit SimHash from per-token hash arrays — zero Python-rate
     work (VERDICT r04 item 1: the per-token FNV loop was the last
-    Python-rate kernel).
+    Python-rate kernel; r6 upgrades it to an ARROW-NATIVE UDF so the
+    int64 hash lists never materialize as Python objects — the
+    ListArray's offsets/values buffers feed numpy directly, guide §4).
 
     Tokens are hashed JVM-side with ``xxhash64`` (same division of
     labor as :func:`minhash_signatures`); this kernel only does the
@@ -475,14 +526,17 @@ def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     ``np.add.reduceat``, bit b set iff 2*ones(b) > n_tokens (the
     ``acc > 0`` sign convention of the plain-python oracle spec,
     scripts/oracle_check.py ``_py_simhash``)."""
+    if isinstance(hashes, pa.ChunkedArray):
+        hashes = hashes.combine_chunks()
     n = len(hashes)
-    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+    lens = np.asarray(pc.list_value_length(hashes), dtype=np.int64)
     out = np.zeros(n, dtype=np.uint64)
     nz = lens > 0
     if nz.any():
-        cat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in hashes if len(h)]
-        ).view(np.uint64)
+        # list_flatten concatenates the values of every (non-empty)
+        # list in order — the same layout the old per-doc
+        # np.concatenate built, without touching Python
+        cat = np.asarray(pc.list_flatten(hashes), dtype=np.int64).view(np.uint64)
         toks = lens[nz].astype(np.uint64)
         starts = np.zeros(toks.size, dtype=np.int64)
         starts[1:] = np.cumsum(lens[nz])[:-1]
@@ -493,7 +547,7 @@ def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
             )
             sig |= (2 * ones > toks).astype(np.uint64) << np.uint64(b)
         out[nz] = sig
-    return pd.Series(out.view(np.int64))
+    return pa.array(out.view(np.int64), type=pa.int64())
 
 
 def simhash_signatures(

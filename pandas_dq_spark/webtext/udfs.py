@@ -1,5 +1,5 @@
-"""Vectorized pandas UDFs: language-ID + perplexity (the fastText /
-KenLM stand-ins, BASELINE.json north_star).
+"""Vectorized Arrow-native UDFs: language-ID + perplexity (the
+fastText / KenLM stand-ins, BASELINE.json north_star).
 
 These are the ONLY Python-on-executor stages in the whole pipeline
 (input_hint: 'vectorized pandas/Arrow UDFs (no per-row Python)').
@@ -8,13 +8,22 @@ via the closure, not per row.
 
 Two kernels produce the fused per-document scores:
 
-- ``impl="arrow"`` (default): tokenization stays in Arrow C++
-  (``utf8_split_whitespace`` + ``dictionary_encode``), so Python never
-  materializes the per-token objects — only the batch's (small) token
-  dictionary.  Per-unique-word properties are cached across batches;
-  per-document sums are segmented numpy reductions; the bigram
-  log-probs come from one dense-matrix gather (lm.LM_FLAT).  Measured
-  at 40k docs / 6.2M tokens this is ~5x the loop kernel.
+- ``impl="arrow"`` (default): an ARROW-NATIVE scalar UDF
+  (``F.arrow_udf``, Spark 4.1): the batch arrives as a
+  ``pyarrow.Array`` and the result leaves as a ``pyarrow.StructArray``
+  — no pandas object-Series materialization on either side (r6: the
+  pandas_udf wrapper used to allocate one Python str per document on
+  entry and convert the whole frame back to Arrow on exit;
+  guide §4.1 'how efficiently they cross').  Tokenization stays in
+  Arrow C++ (``utf8_split_whitespace`` + ``dictionary_encode``), so
+  Python never materializes the per-token objects — only the batch's
+  (small) token dictionary.  Per-unique-word properties are cached
+  across batches AND across tasks (module-level cache keyed by the
+  stopword set, guide §4.5: functions imported from a shipped module
+  keep their globals in a reused worker); per-document sums are
+  segmented numpy reductions; the bigram log-probs come from one
+  dense-matrix gather (lm.LM_FLAT).  Measured at 40k docs / 6.2M
+  tokens the vectorized kernel is ~5x the loop kernel.
 - ``impl="loop"``: the straightforward per-token python loop, kept as
   the executable specification the vectorized kernel is parity-tested
   against (tests/test_webtext_pipeline.py).
@@ -121,6 +130,20 @@ TEXT_SCORES_SCHEMA = T.StructType(
 # pipeline/streaming extract exactly these from the struct
 TEXT_SCORES_FIELDS = tuple(f.name for f in TEXT_SCORES_SCHEMA.fields)
 
+# word -> props caches, one per stopword set, shared by every batch of
+# every task in a reused Python worker (guide §4.5: module-level state
+# survives task boundaries because this module is imported, not
+# pickled by value).  Web text repeats words heavily, so once warm the
+# per-batch unique-word property loop is almost entirely dict hits.
+_WORD_PROPS_CACHES: dict[frozenset, dict] = {}
+
+
+def _props_cache_for(stop_set: frozenset) -> dict:
+    c = _WORD_PROPS_CACHES.get(stop_set)
+    if c is None:
+        c = _WORD_PROPS_CACHES.setdefault(stop_set, {})
+    return c
+
 
 def make_word_props(stop_set: frozenset):
     """word -> (len, is_stop, non_alpha, marker_id, lm_row_base,
@@ -149,11 +172,26 @@ def make_word_props(stop_set: frozenset):
     return _props
 
 
-def arrow_scores_frame(
-    texts: pd.Series, stop_set: frozenset, cache: dict | None = None
-) -> pd.DataFrame:
-    """The vectorized kernel: one batch of raw text -> the
-    TEXT_SCORES_SCHEMA frame.
+def _empty_scores_struct() -> pa.StructArray:
+    def _typ(name: str):
+        if name == "lang_pred":
+            return pa.string()
+        if name in ("n_words", "n_chars"):
+            return pa.int32()
+        return pa.float64()
+
+    return pa.StructArray.from_arrays(
+        [pa.array([], type=_typ(f)) for f in TEXT_SCORES_FIELDS],
+        names=list(TEXT_SCORES_FIELDS),
+    )
+
+
+def arrow_scores_struct(
+    arr: pa.Array, stop_set: frozenset, cache: dict | None = None
+) -> pa.StructArray:
+    """The vectorized kernel core: one Arrow batch of raw text -> one
+    ``pa.StructArray`` with the TEXT_SCORES_SCHEMA fields.  Arrow in,
+    Arrow out — zero pandas, zero per-document Python objects.
 
     Stages (all C/C++ except the per-UNIQUE-word property loop):
       1. Arrow: fill_null -> trim -> split_whitespace -> flatten ->
@@ -165,22 +203,16 @@ def arrow_scores_frame(
          from the dense lm.LM_FLAT matrix (rows shifted by one token
          within each doc; doc starts use the "<s>" row).
     """
-    cache = cache if cache is not None else {}
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    cache = cache if cache is not None else _props_cache_for(stop_set)
     _props = make_word_props(stop_set)
-    B = len(texts)
+    B = len(arr)
     if B == 0:
         # a zero-row batch would leave the line dictionary empty and
         # the distinct-count key arithmetic degenerate
-        return pd.DataFrame(
-            {
-                f.name: pd.Series(
-                    [], dtype="object" if f.name == "lang_pred" else
-                    ("int32" if f.name in ("n_words", "n_chars") else "float64")
-                )
-                for f in TEXT_SCORES_SCHEMA.fields
-            }
-        )
-    arr = pc.fill_null(pa.array(texts, type=pa.string(), from_pandas=True), "")
+        return _empty_scores_struct()
+    arr = pc.fill_null(arr, "")
     trimmed = pc.utf8_trim_whitespace(arr)
     tok = pc.utf8_split_whitespace(trimmed)
     lens = np.diff(np.asarray(tok.offsets, dtype=np.int64))
@@ -278,20 +310,46 @@ def arrow_scores_frame(
         # (neither alnum nor whitespace) = token chars - alnum chars;
         # docs with zero tokens have zero symbols by the same identity
         symbol_ratio[nz] = (sum_len - n_alnum) / np.maximum(n_chars[nz], 1)
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(lang_pred, type=pa.string()),
+            pa.array(lang_score),
+            pa.array(ppl),
+            pa.array(lens.astype(np.int32)),
+            pa.array(mwl),
+            pa.array(swf),
+            pa.array(naf),
+            pa.array(n_chars.astype(np.int32)),
+            pa.array(symbol_ratio),
+            pa.array(repeated_line_frac),
+            pa.array(ellipsis_line_frac),
+        ],
+        names=list(TEXT_SCORES_FIELDS),
+    )
+
+
+def arrow_scores_frame(
+    texts: pd.Series, stop_set: frozenset, cache: dict | None = None
+) -> pd.DataFrame:
+    """pandas wrapper over :func:`arrow_scores_struct` — kept as the
+    stable kernel-parity surface (tests compare this frame against
+    ``loop_scores_frame``); the Spark UDF path goes Arrow-native and
+    never builds this frame."""
+    struct = arrow_scores_struct(
+        pa.array(texts, type=pa.string(), from_pandas=True), stop_set, cache
+    )
+    if len(struct) == 0:
+        return pd.DataFrame(
+            {
+                f.name: pd.Series(
+                    [], dtype="object" if f.name == "lang_pred" else
+                    ("int32" if f.name in ("n_words", "n_chars") else "float64")
+                )
+                for f in TEXT_SCORES_SCHEMA.fields
+            }
+        )
     return pd.DataFrame(
-        {
-            "lang_pred": lang_pred,
-            "lang_score": lang_score,
-            "ppl": ppl,
-            "n_words": pd.Series(lens, dtype="int32"),
-            "mean_word_len": mwl,
-            "stopword_frac": swf,
-            "non_alpha_word_frac": naf,
-            "n_chars": pd.Series(n_chars, dtype="int32"),
-            "symbol_ratio": symbol_ratio,
-            "repeated_line_frac": repeated_line_frac,
-            "ellipsis_line_frac": ellipsis_line_frac,
-        }
+        {name: struct.field(name).to_pandas() for name in TEXT_SCORES_FIELDS}
     )
 
 
@@ -299,7 +357,7 @@ def loop_scores_frame(
     texts: pd.Series, stop_set: frozenset, cache: dict | None = None
 ) -> pd.DataFrame:
     """The per-token python loop: the executable spec for
-    arrow_scores_frame (bit-identical to lm.langid_scores /
+    arrow_scores_struct (bit-identical to lm.langid_scores /
     lm.perplexity), with a per-word property memo.
 
     The char/line stats here use the REFERENCE's direct formulas
@@ -380,10 +438,22 @@ def make_text_scores_udf(stopwords: tuple, row_counter=None, impl: str = "arrow"
     UDF actually processes — the pipeline tests use it to assert the
     Arrow pass runs exactly ONCE per row per run (no double compute).
 
-    ``impl``: "arrow" (default, vectorized) or "loop" (the executable
-    spec; same numbers, ~5x slower)."""
+    ``impl``: "arrow" (default) is an ARROW-NATIVE scalar UDF
+    (``F.arrow_udf``): batches stay ``pyarrow`` end-to-end, skipping
+    the pandas object-Series round-trip the old pandas_udf wrapper
+    paid on both sides of the boundary (r6, guide §4).  "loop" is the
+    executable spec (same numbers, ~5x slower), still a pandas_udf."""
     stop_set = frozenset(stopwords)
-    kernel = arrow_scores_frame if impl == "arrow" else loop_scores_frame
+    if impl == "arrow":
+
+        @F.arrow_udf(TEXT_SCORES_SCHEMA)
+        def text_scores_arrow_udf(texts: pa.Array) -> pa.Array:
+            if row_counter is not None:
+                row_counter.add(len(texts))
+            return arrow_scores_struct(texts, stop_set)
+
+        return text_scores_arrow_udf
+
     # per-worker persistent word-property cache (web text repeats words
     # heavily, so per-batch unique counts stay small once warm)
     cache: dict[str, tuple] = {}
@@ -392,6 +462,6 @@ def make_text_scores_udf(stopwords: tuple, row_counter=None, impl: str = "arrow"
     def text_scores_udf(texts: pd.Series) -> pd.DataFrame:
         if row_counter is not None:
             row_counter.add(len(texts))
-        return kernel(texts, stop_set, cache)
+        return loop_scores_frame(texts, stop_set, cache)
 
     return text_scores_udf
