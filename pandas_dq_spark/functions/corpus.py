@@ -190,12 +190,19 @@ def tfidf_top_terms(
     n_docs: int | None = None,
 ) -> DataFrame:
     """Corpus-level top-``k`` terms by tf * ln(N/df) — the quick
-    signal for boilerplate/topic skew in a crawl.  ``n_docs`` is
-    counted if not given.  TakeOrderedAndProject top-k; ties broken by
-    term for determinism."""
-    n = n_docs if n_docs is not None else df.count()
+    signal for boilerplate/topic skew in a crawl.  When ``n_docs`` is
+    not given, the corpus count rides along as a broadcast one-row
+    cross join instead of a separate ``df.count()`` job (r6): one job
+    total, and the count subtree scans zero columns.
+    TakeOrderedAndProject top-k; ties broken by term for
+    determinism."""
     stats = term_stats(df, text_col, id_col)
-    score = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
+    if n_docs is None:
+        cnt = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+        stats = stats.crossJoin(F.broadcast(cnt))
+        score = F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))
+    else:
+        score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     return (
         stats.filter(F.col("df") >= min_df)
         .select("term", "tf", "df", F.round(score, 6).alias("tfidf"))

@@ -118,8 +118,11 @@ def exact_duplicates(
     h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     slim = df.select(F.col(id_col).alias("__id"), h.alias("__h"))
     if flood_safe is None:
+        # zero-column probe (r6): see webtext.pipeline.duplicate_urls
         flood_safe = (
-            df.select(id_col).limit(FLOOD_SAFE_MIN_ROWS).count()
+            df.select(F.lit(1).alias("__one"))
+            .limit(FLOOD_SAFE_MIN_ROWS)
+            .count()
             >= FLOOD_SAFE_MIN_ROWS
         )
     if not flood_safe:

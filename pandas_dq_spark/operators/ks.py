@@ -111,7 +111,15 @@ def ks_2samp_auto(
     that ``ks_2samp_df`` pays.  Above the threshold the fully
     distributed window plan (``ks_2samp_df``) is the engine-mode
     default — the driver never sees more than ``max_distinct_for_
-    driver`` histogram rows (default 100k ~ 1.6 MB)."""
+    driver`` histogram rows (default 100k ~ 1.6 MB).
+
+    r6: the cardinality probe and the histogram collect are ONE job —
+    ``limit(cap+1).toPandas()``: if the limited collect comes back
+    with <= cap rows it necessarily IS the complete histogram, and if
+    it overflows we learned the cardinality exceeds the cap for the
+    price of a bounded collect.  The old ``count()`` + ``toPandas()``
+    pair computed the whole union+aggregation twice (nothing was
+    persisted between the jobs)."""
     a = (
         df1.select(F.col(col1).cast("double").alias("v"))
         .where(F.col("v").isNotNull() & ~F.isnan("v"))
@@ -127,12 +135,12 @@ def ks_2samp_auto(
         .groupBy("v")
         .agg(F.sum("tag").alias("c1"), F.sum(1 - F.col("tag")).alias("c2"))
     )
-    n_distinct = per_val.count()
-    if n_distinct > max_distinct_for_driver:
+    pdf = per_val.limit(max_distinct_for_driver + 1).toPandas()
+    if len(pdf) > max_distinct_for_driver:
         return ks_2samp_df(df1, col1, df2, col2)
     import numpy as np
 
-    pdf = per_val.toPandas().sort_values("v")
+    pdf = pdf.sort_values("v")
     n1, n2 = pdf["c1"].sum(), pdf["c2"].sum()
     if n1 == 0 or n2 == 0:
         return float("nan")

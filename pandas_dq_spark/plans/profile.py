@@ -298,32 +298,67 @@ def quantiles(
 
 
 def quantiles_bucketed(
-    df: DataFrame, col: str, probs: list[float], n_buckets: int = 256
+    df: DataFrame, col: str, probs: list[float], n_buckets: int = 256,
+    max_distinct_for_driver: int = 2_000_000,
 ) -> list[float]:
     """EXACT linear-interpolation quantiles without the single-reducer
     value multiset that Spark's exact ``percentile`` carries (its
     partial state is every value — a scale-killer on wide columns).
 
-    Plan: per-value counts (one shuffle, map-side combined) -> range
-    buckets -> bucket totals prefix-summed on the driver (<=
-    ``n_buckets`` rows) -> the <=2 order statistics each requested
-    quantile needs are located inside single buckets via per-bucket
-    cumulative windows and collected.  Work per reducer is bounded by
-    the bucket's distinct values; nothing holds the full column.
+    Adaptive physical strategy (r6, same policy as
+    ``operators.ks.ks_2samp_auto``): the per-value histogram (one
+    shuffle, map-side combined) is collected with
+    ``limit(cap+1).toPandas()`` in ONE job — if it comes back with
+    <= cap rows it IS the complete histogram and the order statistics
+    are located on the driver with numpy (exact same interpolation);
+    if it overflows, fall through to the fully distributed
+    range-bucketed plan: per-value counts -> range buckets -> bucket
+    totals prefix-summed on the driver (<= ``n_buckets`` rows) -> the
+    <=2 order statistics each requested quantile needs located inside
+    single buckets via per-bucket cumulative windows.  The driver
+    never holds more than ``max_distinct_for_driver`` histogram rows
+    (default 2M ~ 32 MB); work per reducer in the distributed path is
+    bounded by the bucket's distinct values — nothing holds the full
+    column multiset at any scale.  The old path always paid a persist
+    plus THREE sequential driver jobs on the histogram.
 
     Matches pandas ``.quantile`` / numpy linear interpolation exactly
     (index = (n-1)*p; v = lo + frac*(hi-lo)).  Nulls/NaNs dropped.
     """
+    import numpy as np
+
     v = F.when(null_or_nan(F.col(col), "float"), None).otherwise(
         F.col(col).cast("double")
     )
-    per_val = (
+    per_val_plan = (
         df.select(v.alias("v"))
         .filter(F.col("v").isNotNull())
         .groupBy("v")
         .count()
-        .persist()
     )
+    pdf = per_val_plan.limit(max_distinct_for_driver + 1).toPandas()
+    if len(pdf) <= max_distinct_for_driver:
+        if len(pdf) == 0:
+            return [None for _ in probs]
+        order = np.argsort(pdf["v"].to_numpy())
+        vals = pdf["v"].to_numpy()[order]
+        cum = pdf["count"].to_numpy()[order].cumsum()
+        n = int(cum[-1])
+        vmin, vmax = float(vals[0]), float(vals[-1])
+        if n == 1 or vmin == vmax:
+            return [vmin for _ in probs]
+        out = []
+        for p in probs:
+            pos = (n - 1) * p
+            k0, k1 = int(math.floor(pos)), int(math.ceil(pos))
+            frac = pos - math.floor(pos)
+            # val_at(k) = smallest v whose cumulative count exceeds k —
+            # identical to the distributed plan's (prev <= k < cum) row
+            v0 = float(vals[np.searchsorted(cum, k0, side="right")])
+            v1 = float(vals[np.searchsorted(cum, k1, side="right")])
+            out.append(v0 + frac * (v1 - v0))
+        return out
+    per_val = per_val_plan.persist()
     try:
         tot = per_val.agg(
             F.sum("count").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")

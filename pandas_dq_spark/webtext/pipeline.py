@@ -124,8 +124,13 @@ def duplicate_urls(
     h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     slim = df.select(F.col(url_col).alias("__u"), h.alias("__h"))
     if flood_safe is None:
+        # zero-column probe (r6): counting a literal lets the scan
+        # prune every column, so the bounded row probe reads no data —
+        # just row counts — instead of decoding the url column
         flood_safe = (
-            df.select(url_col).limit(FLOOD_SAFE_MIN_ROWS).count()
+            df.select(F.lit(1).alias("__one"))
+            .limit(FLOOD_SAFE_MIN_ROWS)
+            .count()
             >= FLOOD_SAFE_MIN_ROWS
         )
     if not flood_safe:
