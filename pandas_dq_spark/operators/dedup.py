@@ -115,7 +115,9 @@ def exact_duplicates(
     AQE-splittable (usually broadcast) join."""
     from ..webtext.pipeline import FLOOD_SAFE_MIN_ROWS
 
-    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    # unhex: 32 raw digest bytes, not 64 hex chars (see
+    # webtext.pipeline.duplicate_urls) — same groups, half the shuffle
+    h = F.unhex(F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
     slim = df.select(F.col(id_col).alias("__id"), h.alias("__h"))
     if flood_safe is None:
         # zero-column probe (r6): see webtext.pipeline.duplicate_urls

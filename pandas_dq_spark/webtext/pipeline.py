@@ -121,7 +121,10 @@ def duplicate_urls(
       :data:`FLOOD_SAFE_MIN_ROWS` cannot contain a task-breaking
       flood (a dup group is bounded by the corpus), so they take the
       fast window plan; anything bigger pays for flood safety."""
-    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    # unhex: group on the 32 raw digest bytes, not the 64-char hex
+    # string — same grouping (hex is injective), half the shuffle
+    # bytes and cheaper key comparisons (r6, guide §2.3)
+    h = F.unhex(F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
     slim = df.select(F.col(url_col).alias("__u"), h.alias("__h"))
     if flood_safe is None:
         # zero-column probe (r6): counting a literal lets the scan

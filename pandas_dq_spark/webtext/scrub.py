@@ -31,12 +31,17 @@ SCRUB_RULES: list[tuple[str, str, str]] = [
 
 
 # characters/words whose ABSENCE in a text guarantees the rule's
-# pattern cannot match — what each scrub_col gate tests for
+# pattern cannot match — what each scrub_col gate tests for.  The
+# regex parts of the r6 gates ([0-9]{3} followed by a separator;
+# digit-dot) cannot be expressed as substring triggers, but their
+# safety reduces to the same invariant: no replacement tag contains a
+# digit, so no replacement can complete a digit-run or digit-separator
+# adjacency across its boundary ('<'/'>' break both).
 _GATE_TRIGGERS: dict[str, list[str]] = {
     "email": ["@"],
     "ssn": ["-"] + list("0123456789"),
     "phone": list("0123456789"),
-    "ip": list("0123456789"),
+    "ip": ["."] + list("0123456789"),
     "toxicity": list(TOX_WORDS),
 }
 
@@ -92,13 +97,27 @@ def scrub_col(c: Column) -> Column:
     a no-match scan costs as much as running all five rules (measured
     121 vs 139 JVM CPU-s on a 2M-doc corpus); the gated chain measured
     ~3x cheaper, and clean prose (no digits, no '@') skips everything
-    but the two word scans."""
-    has_digit = c.rlike("[0-9]")
+    but the two word scans.
+
+    r6 tightened the numeric gates: gating phone/ip on ANY digit ran
+    both backtracking regexes over every document of a corpus where
+    stray digits are ubiquitous (measured 1.5 s of the 2M-doc bench).
+    The shared gate is now ONE cheap scan for
+    ``[0-9]{3}[-.) ]|[0-9]\\.`` — provably necessary for all three
+    numeric rules: ssn starts ``[0-9]{3}-``; phone's core
+    ``(\\([0-9]{3}\\)|[0-9]{3})[-. ]`` always has 3 digits followed by
+    ``)``, ``-``, ``.`` or space; ip contains a digit immediately
+    followed by a dot.  A skipped rule is therefore still provably the
+    identity (the gate-safety invariant above is unchanged — no
+    replacement introduces digits)."""
+    numeric_candidate = c.rlike(r"[0-9]{3}[-.) ]|[0-9]\.")
     gates = {
         "email": c.contains("@"),
-        "ssn": has_digit & c.contains("-"),
-        "phone": has_digit,
-        "ip": has_digit,
+        # per-rule refinements on top of the shared scan stay cheap
+        # (memchr) and keep the rare candidate path tight
+        "ssn": numeric_candidate & c.contains("-"),
+        "phone": numeric_candidate,
+        "ip": numeric_candidate & c.contains("."),
         "toxicity": None,  # built from its word list below
     }
     tox = None
