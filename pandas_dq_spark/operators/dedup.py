@@ -215,6 +215,11 @@ def minhash_signatures(
     outer array re-evaluates the outer array per element (O(words^2)
     per doc, 12s), and k array_min(transform(...)) expressions cost
     ~25s of analysis+evaluation."""
+    # NOTE (r6): a conditional repartition-before-kernel was tried
+    # here and REMOVED — interleaved A/B at 5k and 50k docs showed the
+    # extra exchange + multi-partition cache cost more than the serial
+    # scan stage saved (the banding groupBy restores parallelism one
+    # stage later anyway)
     w = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     wh = F.transform(w, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
     params = np.array(_perm_params(num_hashes, seed), dtype=np.int64)
@@ -312,6 +317,7 @@ def _capped_bucket_pairs(
     max_bucket: int | None,
     dedup_pairs: bool = True,
     stats: dict | None = None,
+    payload_src: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from (bucket_keys, id, payload) rows with a
     hot-bucket guard.
@@ -345,6 +351,16 @@ def _capped_bucket_pairs(
     that only need distinct dup IDs after verification avoid shuffling
     the (possibly wide) payloads; duplicate pairs just re-verify
     cheaply and collapse in the caller's final ``distinct``.
+
+    ``payload_src`` (r6, guide §2.3 'shuffle keys and metadata instead
+    of payloads'): when the payload is wide (a 64-long MinHash
+    signature is ~512 B/row, exploded ``bands`` times), pass the
+    distinct (id, payload) table and the bucket self-join runs on the
+    SLIM (bucket_keys, id) rows only — candidate (id_a, id_b) pairs
+    then re-attach both payloads by joining ``payload_src`` twice on
+    the (far smaller) pair table.  Identical output: payloads are
+    functionally determined by id.  Leave None for cheap payloads
+    (simhash's single long costs less than the two re-attach joins).
     """
     hot = None
     if max_bucket is not None:
@@ -362,7 +378,30 @@ def _capped_bucket_pairs(
                 f"    hot-bucket cap engaged: {n_hot} bucket(s) above "
                 f"{max_bucket} members degrade to star comparisons"
             )
+
+    def _attach(pairs_ids: DataFrame) -> DataFrame:
+        a = payload_src.select(
+            F.col("id").alias("id_a"), F.col(payload).alias(f"{payload}_a")
+        )
+        b = payload_src.select(
+            F.col("id").alias("id_b"), F.col(payload).alias(f"{payload}_b")
+        )
+        return pairs_ids.join(a, "id_a").join(b, "id_b").select(
+            "id_a", "id_b", f"{payload}_a", f"{payload}_b"
+        )
+
     if hot is None:
+        if payload_src is not None:
+            left = exploded.select(*bucket_keys, F.col("id").alias("id_a"))
+            right = exploded.select(*bucket_keys, F.col("id").alias("id_b"))
+            pairs_ids = (
+                left.join(right, bucket_keys)
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            if dedup_pairs:
+                pairs_ids = pairs_ids.dropDuplicates(["id_a", "id_b"])
+            return _attach(pairs_ids)
         pairs = _all_pairs(exploded, bucket_keys, payload)
         return pairs.dropDuplicates(["id_a", "id_b"]) if dedup_pairs else pairs
     # hot buckets exist: split on a broadcast of the (rare) hot keys
@@ -371,6 +410,24 @@ def _capped_bucket_pairs(
     )
     small = marked.filter(F.col("__hot").isNull()).drop("__hot")
     big = marked.filter(F.col("__hot")).drop("__hot")
+    if payload_src is not None:
+        left = small.select(*bucket_keys, F.col("id").alias("id_a"))
+        right = small.select(*bucket_keys, F.col("id").alias("id_b"))
+        pairs_small = (
+            left.join(right, bucket_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        reps = big.groupBy(*bucket_keys).agg(F.min("id").alias("__rep"))
+        pairs_big = (
+            big.join(reps, bucket_keys)
+            .filter(F.col("id") != F.col("__rep"))
+            .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        pairs_ids = pairs_small.unionByName(pairs_big)
+        if dedup_pairs:
+            pairs_ids = pairs_ids.dropDuplicates(["id_a", "id_b"])
+        return _attach(pairs_ids)
     pairs_small = _all_pairs(small, bucket_keys, payload)
     reps = big.groupBy(*bucket_keys).agg(
         F.min("id").alias("__rep"),
@@ -453,28 +510,34 @@ def minhash_lsh_duplicates(
         reps, ident_pairs = _split_identical(base, "sig")
     else:
         reps, ident_pairs = base, None
+    # r6: band hash straight over the row's signature longs — the old
+    # concat_ws form built a ~40-char string per (doc, band) first;
+    # xxhash64 takes the columns directly.  Any deterministic hash of
+    # the band tuple yields the same collision-by-equality buckets.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
-                    )
+                    *[F.col("sig")[b * rows + r] for r in range(rows)]
                 ).alias("bh"),
             )
             for b in range(bands)
         ]
     )
-    exploded = reps.select("id", "sig", F.explode(band_structs).alias("b")).select(
-        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    # slim explode: only (band, bh, id) enters the self-join; the
+    # 64-long signatures are re-attached per candidate pair from the
+    # persisted table (payload_src) — at realistic corpus sizes the
+    # pair table is orders of magnitude smaller than the exploded
+    # table, so the wide payload never rides the bucket shuffle
+    exploded = reps.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     # no pair-level dedup: only distinct id_b is needed after the
-    # verification filter, so the wide signature payloads never
-    # shuffle a second time (duplicate band collisions just re-verify)
+    # verification filter (duplicate band collisions just re-verify)
     pairs = _capped_bucket_pairs(
         exploded, ["band", "bh"], "sig", max_bucket, dedup_pairs=False,
-        stats=stats,
+        stats=stats, payload_src=reps.select("id", "sig"),
     )
     match_frac = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),

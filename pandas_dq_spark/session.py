@@ -50,3 +50,41 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_min_parallelism(
+    df, target: int | None = None, min_bytes_per_partition: int = 4 << 20
+):
+    """Spread a narrow input over the cluster before per-row-heavy
+    work (guide §2.5 'input skew ... repartition immediately after the
+    read').
+
+    Single-file / single-row-group parquet scans plan as ONE task no
+    matter how many cores exist (a parquet row group is the minimum
+    read unit, so ``spark.sql.files.maxPartitionBytes`` cannot split
+    it) — every downstream tokenizer/regex/UDF then runs serially.
+    When the input has fewer partitions than ``target`` (default:
+    ``sparkContext.defaultParallelism``) AND its estimated size per
+    partition exceeds ``min_bytes_per_partition``, a round-robin
+    repartition buys full parallelism for the price of one shuffle of
+    the slim input.  Two pass-through cases keep this scale-adaptive
+    rather than a constant tuned to one box: inputs that already have
+    enough partitions (any realistic large corpus) are untouched, and
+    inputs so small that the serial work is cheaper than an extra
+    exchange + stage (measured: a 5k-doc table LOST ~0.3-0.6 s to the
+    repartition, interleaved A/B) are untouched too.  Only worth
+    calling where per-row work dominates the scan; plain column
+    aggregates gain nothing."""
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    n = df.rdd.getNumPartitions()
+    if n >= target:
+        return df
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        size = None
+    if size is not None and size / max(n, 1) < min_bytes_per_partition:
+        return df
+    return df.repartition(target)

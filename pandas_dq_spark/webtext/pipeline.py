@@ -212,6 +212,14 @@ def quality_filter(
     :func:`duplicate_urls` (None = auto by row probe)."""
     cfg = cfg or QualityConfig()
     out = _drop_reserved(df)
+    # single-row-group inputs would run the whole Arrow-UDF + rules +
+    # scrub chain as ONE task (a row group is the minimum scan split);
+    # spread first — a no-op whenever the input already has >= cores
+    # partitions (any realistic large corpus, incl. the bucketed
+    # batch-runner path whose inputs are many files)
+    from ..session import ensure_min_parallelism
+
+    out = ensure_min_parallelism(out)
     if check_extraction and "html" in df.columns:
         out = with_extracted(out)
         out = out.withColumn(
