@@ -299,7 +299,7 @@ def quantiles(
 
 def quantiles_bucketed(
     df: DataFrame, col: str, probs: list[float], n_buckets: int = 256,
-    max_distinct_for_driver: int = 2_000_000,
+    max_distinct_for_driver: int = 8_000_000,
 ) -> list[float]:
     """EXACT linear-interpolation quantiles without the single-reducer
     value multiset that Spark's exact ``percentile`` carries (its
@@ -317,10 +317,13 @@ def quantiles_bucketed(
     <=2 order statistics each requested quantile needs located inside
     single buckets via per-bucket cumulative windows.  The driver
     never holds more than ``max_distinct_for_driver`` histogram rows
-    (default 2M ~ 32 MB); work per reducer in the distributed path is
-    bounded by the bucket's distinct values — nothing holds the full
-    column multiset at any scale.  The old path always paid a persist
-    plus THREE sequential driver jobs on the histogram.
+    (default 8M ~ 130 MB of (double, count) rows — measured faster
+    than the distributed plan up to that size and comfortably inside
+    an 8g driver; lower it on memory-tight drivers); work per reducer
+    in the distributed path is bounded by the bucket's distinct values
+    — nothing holds the full column multiset at any scale.  The old
+    path always paid a persist plus THREE sequential driver jobs on
+    the histogram.
 
     Matches pandas ``.quantile`` / numpy linear interpolation exactly
     (index = (n-1)*p; v = lo + frac*(hi-lo)).  Nulls/NaNs dropped.

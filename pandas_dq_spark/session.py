@@ -43,7 +43,13 @@ def get_spark(
         # vs the 10k default, measured r3; bench + submit recipe agree)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs driver AND executors in one JVM: the heap
+        # must hold the benched corpus caches (a 20M-page corpus is
+        # ~15 GB deserialized — an 8g heap GC-thrashed to death on it,
+        # reproduced at sf1.0).  32g is a MAX, not a reservation, on
+        # this 128 GiB box; cluster deployments override via
+        # spark-submit / SPARK_GRAFT_DRIVER_MEM as before.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

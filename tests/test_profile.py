@@ -219,6 +219,13 @@ def test_quantiles_bucketed_matches_numpy(spark):
     assert quantiles_bucketed(one, "v", [0.25, 0.75]) == [3.5, 3.5]
     nul = spark.createDataFrame(pd.DataFrame({"v": [np.nan, np.nan]}))
     assert quantiles_bucketed(nul, "v", [0.5]) == [None]
+    # r6: the driver fast path (limit-collect histogram) and the
+    # distributed range-bucketed fallback must agree BIT-FOR-BIT —
+    # force the fallback with a tiny cap and compare
+    driver_path = quantiles_bucketed(sdf, "v", probs)
+    dist_path = quantiles_bucketed(sdf, "v", probs, max_distinct_for_driver=3)
+    assert driver_path == dist_path
+    assert driver_path == pytest.approx(exp, abs=1e-12)
 
 
 def test_engine_mode_approx_distinct(messy):

@@ -77,6 +77,35 @@ def test_scrub_removes_pii(result):
     assert result.filter(F.col("scrubbed_text").contains("<EMAIL>")).count() > 0
 
 
+def test_scrub_gates_are_necessary_conditions(spark):
+    # r6: the tightened numeric gates ([0-9]{3}[-.) ]|[0-9]\.) must
+    # keep the gated chain byte-identical to the UNGATED sequential
+    # chain on inputs engineered to sit just inside/outside each
+    # gate's boundary (digit runs next to every separator class,
+    # near-miss phone/ssn/ip shapes, tags adjacent to digits)
+    from pandas_dq_spark.webtext.scrub import SCRUB_RULES, scrub_col
+
+    cases = [
+        "999) 123-4567 x", "123-45-6789", "12-345-6789", "1234-56-7890",
+        "call (555) 123-4567 now", "+1 555-123-4567", "+1 555.123.4567",
+        "ip 10.0.0.1 x", "v1.2.3.4000", "1.2.3.4", "256.1.1.1",
+        "123. 456. 789. 0", "12. 34. 56.", "999 123 4567", "123 4567",
+        "a@b.co 123-45-6789", "<EMAIL>123-45-6789", "x<SSN>-123",
+        "123-45-678", "23-45-6789", "555-12", "555-123-456",
+        "frakking 555-123-4567", "rep123", "rep123.", "rep123-",
+        "(123)456-789-0123", "no digits here.", "", "   ", "1",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    ungated = F.col("text")
+    for _, pat, repl in SCRUB_RULES:
+        ungated = F.regexp_replace(ungated, pat, repl)
+    rows = df.select(
+        scrub_col(F.col("text")).alias("gated"), ungated.alias("plain")
+    ).collect()
+    for r in rows:
+        assert r["gated"] == r["plain"]
+
+
 def test_duplicate_survivor_is_min_url(result):
     dups = (
         result.groupBy(F.sha2(F.coalesce("text", F.lit("")), 256).alias("h"))
