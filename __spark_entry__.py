@@ -103,7 +103,9 @@ EAGER_QUERIES = {
     "a5_dedup_survivors",
     "w_quality_rule_counts",
     "w_webtext_keep_stats",
-    # r5: counts the corpus once for the idf denominator at build
+    # r6: the idf denominator now rides along as a broadcast one-row
+    # cross join — no job at build anymore, but the entry stays listed
+    # for round-over-round comparability of this documentation set
     "c_tfidf_top",
     # r5: iterative label propagation runs its rounds at build
     "c_components",
