@@ -435,12 +435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis / training-data ops ---------------------------
     def t_token_counts(spark, sf):
+        # r6 NOTE: regexp_count(\s+)+1 (equal counts) was tried and
+        # REVERTED — Spark lowers it to size(regexp_extract_all(...)),
+        # which interleaved A/B measured ~35% slower than split here
         d = _t(spark, sf, "documents")
-        # regexp_count(\s+)+1 == size(split(\s+)) on trimmed text
-        # (split of "" is [""], count is 0: both 1) — same token count
-        # without materializing the token array per row (r6)
         return d.groupBy("lang").agg(
-            F.sum(F.regexp_count(F.trim("text"), F.lit(r"\s+")) + 1).alias("n_tokens")
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tokens")
         )
 
     q["t_token_counts"] = t_token_counts
@@ -478,36 +478,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t_line_stats"] = t_line_stats
 
     def w_quality_rule_counts(spark, sf):
-        # r6: per-row stats in ONE projection below the aggregate so
-        # the \s+ split is evaluated once per row (codegen CSE shares
-        # it between n_words and the stopword filter; inlined into the
-        # aggregate expressions it was re-evaluated per consumer), and
-        # symbol counting uses regexp_count of the complement class
-        # instead of allocating a stripped copy of every document.
-        # Same numbers: count of [^\p{L}\p{N}\s] matches == length
-        # after removing [\p{L}\p{N}\s].
+        # r6 NOTE: a pre-projection + regexp_count(complement class)
+        # rewrite (same numbers) was tried and REVERTED — interleaved
+        # A/B measured the original form ~15% faster (codegen already
+        # CSE-shares the split inside the aggregate, and Spark lowers
+        # regexp_count to size(regexp_extract_all(...)), which costs
+        # more than the stripped-copy length it replaced)
         d = _t(spark, sf, "documents")
         words = F.split(F.trim("text"), r"\s+")
+        n_words = F.size(words)
+        sym = F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", "")) / F.length("text")
         arr = F.array(*[F.lit(w) for w in STOPWORDS_5])
+        stopfrac = F.size(F.filter(words, lambda x: F.array_contains(arr, x))) / n_words
         lines = F.split("text", "\n")
-        per = d.select(
-            F.size(words).alias("__nw"),
-            (
-                F.regexp_count(F.col("text"), F.lit(r"[^\p{L}\p{N}\s]"))
-                / F.length("text")
-            ).alias("__sym"),
-            F.size(F.filter(words, lambda x: F.array_contains(arr, x))).alias(
-                "__stop"
-            ),
-            (1.0 - F.size(F.array_distinct(lines)) / F.size(lines)).alias("__rep"),
-        )
-        return per.agg(
-            F.sum((F.col("__nw") < 50).cast("long")).alias("n_short"),
-            F.sum((F.col("__sym") > 0.1).cast("long")).alias("n_symbol_heavy"),
-            F.sum(((F.col("__stop") / F.col("__nw")) < 0.02).cast("long")).alias(
-                "n_low_stopword"
-            ),
-            F.sum((F.col("__rep") > 0.3).cast("long")).alias("n_repeated_lines"),
+        repfrac = 1.0 - F.size(F.array_distinct(lines)) / F.size(lines)
+        return d.agg(
+            F.sum((n_words < 50).cast("long")).alias("n_short"),
+            F.sum((sym > 0.1).cast("long")).alias("n_symbol_heavy"),
+            F.sum((stopfrac < 0.02).cast("long")).alias("n_low_stopword"),
+            F.sum((repfrac > 0.3).cast("long")).alias("n_repeated_lines"),
         )
 
     q["w_quality_rule_counts"] = w_quality_rule_counts
@@ -621,20 +610,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- similarity search -------------------------------------------
     def s_cosine_topk(spark, sf):
-        # r6: the query vector rides along as a broadcast one-row
-        # cross join instead of a separate first() job (the float ->
-        # double widening the literal path did now happens via the
-        # cast inside cosine_expr — identical doubles); one job total
+        # r6 NOTE: fusing the first() job away via a broadcast cross
+        # join was tried and REVERTED — with the query vector as a
+        # LITERAL array its norm constant-folds at plan time, and the
+        # interleaved A/B measured the literal form ~25% faster than
+        # the one-job cross-join form despite the extra driver action
         from pandas_dq_spark.operators.similarity import cosine_expr
 
         e = _t(spark, sf, "embeddings")
-        qv = F.broadcast(
-            e.filter("vec_id = 0").select(F.col("embedding").alias("__qv"))
-        )
-        sim = cosine_expr(F.col("embedding"), F.col("__qv"))
+        qv = e.filter("vec_id = 0").select("embedding").first()["embedding"]
+        sim = cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv]))
         return (
             e.filter("vec_id <> 0")
-            .crossJoin(qv)
             .select("vec_id", F.round(sim, 5).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col("vec_id"))
             .limit(10)
